@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Local runs use `local[N]` (one JVM, N executor threads); production
+  * deploys the same code unchanged via spark-submit on a real cluster —
+  * nothing here assumes a single JVM. Shuffle partitions default to the
+  * core count (not 200) so small-scale runs don't drown in empty tasks;
+  * AQE coalesces / splits at runtime where the static choice is wrong.
+  */
+object Sessions {
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
