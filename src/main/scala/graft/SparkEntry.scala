@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables._
-import graft.ops.Relational
+import graft.ops.{Multimodal, Relational, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,8 +39,54 @@ object SparkEntry {
     "q_keyword_filter" -> ((s, d) => Relational.keywordFilter(part(s, d), keywords)),
     "q_topk_window" -> ((s, d) => Relational.topKPerGroup(customer(s, d), 3)),
     "q_events_tumbling" -> ((s, d) => Relational.eventsTumbling(events(s, d))),
-    "q_sessionize" -> ((s, d) => Relational.sessionize(events(s, d)))
+    "q_sessionize" -> ((s, d) => Relational.sessionize(events(s, d))),
+    // training-data pipeline ops
+    "dedup_exact" -> ((s, d) => TextDedup.exactDedup(documents(s, d))),
+    "dedup_minhash_sigs" -> ((s, d) => TextDedup.minhashSignatures(documents(s, d))),
+    "dedup_minhash_pairs" -> ((s, d) => TextDedup.minhashCandidatePairs(documents(s, d))),
+    "dedup_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(documents(s, d), 0.8)),
+    "dedup_simhash" -> ((s, d) => TextDedup.simhash(documents(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
+    "emb_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(embeddings(s, d), 0.4)),
+    "ann_brute_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    }),
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, documents(s, d)))
   )
+
+  // ---- shared DuckDB SQL fragments (must mirror the Spark ops above) ----
+
+  /** whitespace tokens, empties dropped */
+  private val TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** distinct 3-word shingles over TOKS (as a SQL expression over `w`) */
+  private def shinglesSql(w: String) =
+    s"""CASE WHEN len($w) >= 3
+        THEN list_distinct(list_transform(range(1, len($w)-1),
+             i -> array_to_string(($w)[i:i+2], ' ')))
+        ELSE [] END"""
+
+  private val minhashSigsSql =
+    s"""WITH d AS (SELECT doc_id, ${shinglesSql(TOKS)} AS sh FROM documents),
+        ks AS (SELECT unnest(range(0,16)) AS k)
+        SELECT doc_id, k::INT AS k,
+               list_min(list_transform(sh, s -> md5(concat(k::VARCHAR, '|', s)))) AS minhash
+        FROM d, ks WHERE len(sh) > 0"""
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
+
+  private val stopwords = TextAnalysis.langProfiles.flatMap(_._2).distinct
+  private def inList(v: String, ws: Seq[String]) =
+    ws.map(w => s"$v = '$w'").mkString(" OR ")
 
   def oracleSql: Map[String, String] = Map(
     "q_agg" ->
@@ -111,6 +157,148 @@ object SparkEntry {
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS sess_start, max(ts) AS sess_end
-         FROM sess GROUP BY user_id, session_id"""
+         FROM sess GROUP BY user_id, session_id""",
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         FROM documents""",
+    "dedup_minhash_sigs" -> minhashSigsSql,
+    "dedup_minhash_pairs" ->
+      s"""WITH sigs AS ($minhashSigsSql),
+          bands AS (
+            SELECT doc_id, (k // 4)::INT AS band,
+                   md5(string_agg(minhash, '|' ORDER BY k)) AS band_hash
+            FROM sigs GROUP BY 1, 2)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2""",
+    "dedup_jaccard_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8""",
+    "dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents),
+          b AS (SELECT doc_id, list_transform(range(0,64), i ->
+                 CASE WHEN list_sum(list_transform(tk, t ->
+                   CASE WHEN (('0x' || substr(md5(t), (1 + i//4)::INT, 1))::INT
+                              >> (3 - (i%4))::INT) & 1 = 1
+                   THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bits
+               FROM d)
+          SELECT doc_id, array_to_string(list_transform(range(0,16), j ->
+                 substr('0123456789abcdef',
+                        (1 + bits[(4*j+1)::INT]*8 + bits[(4*j+2)::INT]*4
+                           + bits[(4*j+3)::INT]*2 + bits[(4*j+4)::INT])::INT, 1)), '')
+                 AS simhash
+          FROM b""",
+    "text_langid" -> {
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        s"len(list_filter($TOKS, t -> ${inList("t", ws)}))::INT AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$r")
+        val ge = if (rest.size == 1) s"s_$l >= ${rest.head}"
+                 else s"s_$l >= greatest(${rest.mkString(", ")})"
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+            SELECT doc_id, lang AS labeled_lang, $scores FROM documents)
+          SELECT doc_id, labeled_lang,
+                 CASE $pred ELSE '${langs.last}' END AS pred_lang,
+                 greatest(${langs.map(l => s"s_$l").mkString(", ")})::INT AS score
+          FROM scored"""
+    },
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents)
+          SELECT doc_id,
+                 len(tk)::INT AS n_tokens,
+                 round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk), 4)
+                   AS avg_token_len,
+                 round(len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
+                       / len(tk), 4) AS stopword_ratio,
+                 round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.5 +
+                       (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
+                        / len(tk)) * 0.5, 6) AS quality
+          FROM t""",
+    "text_tokens" ->
+      s"""SELECT doc_id,
+                 len($TOKS)::INT AS n_tokens,
+                 len(list_distinct($TOKS))::INT AS n_distinct,
+                 len(regexp_extract_all(text, '[a-z]+'))::INT AS n_alpha_runs,
+                 length(text)::INT AS n_chars
+          FROM documents""",
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS w FROM documents),
+          h AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                 THEN list_transform(range(1, len(w)-1),
+                      i -> md5(array_to_string(w[i:i+2], ' ')))
+                 ELSE [] END AS hs FROM t),
+          wm AS (SELECT doc_id,
+                 CASE WHEN len(hs) >= 4
+                 THEN list_transform(range(1, len(hs)-2), p -> list_min(hs[p:p+3]))
+                 ELSE hs END AS wins FROM h)
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(wins)), '')) AS fingerprint,
+                 len(list_distinct(wins))::INT AS n_grams
+          FROM wm""",
+    "emb_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""",
+    "ann_brute_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+          j AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+                FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 8)
+          SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+          WHERE rnk <= 5""",
+    "ann_lsh_topk" -> {
+      val bucket = (e: String) =>
+        s"""list_sum(list_transform(range(0,8), p ->
+            CASE WHEN list_sum(list_transform(range(1, len($e)+1),
+                 i -> ($e)[i]::DOUBLE *
+                      (CASE WHEN ('0x' || substr(md5(concat('plane', p::VARCHAR, '|',
+                            (i-1)::VARCHAR)), 1, 1))::INT >= 8
+                       THEN 1.0 ELSE -1.0 END))) > 0
+            THEN (1 << p::INT) ELSE 0 END))"""
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+                 ${bucket("embedding")} AS bucket FROM embeddings),
+          j AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+                FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+                WHERE q.vec_id < 8)
+          SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+          WHERE rnk <= 5"""
+    },
+    "media_meta" ->
+      """SELECT doc_id,
+                64 + (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 192) AS width,
+                64 + (('0x' || substr(md5(doc_id::VARCHAR), 3, 2))::INT % 192) AS height,
+                CASE (('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::INT % 3)
+                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+                64::INT AS n_bytes
+         FROM documents"""
   )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the exact
+  * baseline) and a random-hyperplane LSH-bucketed variant (the scale
+  * path), plus an exact cosine near-duplicate pair join.
+  *
+  * Dot products run through `zip_with` + `aggregate` — scalar,
+  * codegen'd, left-to-right (deterministic association order). Floats
+  * are cast to double BEFORE arithmetic and cosines rounded at the end
+  * so the DuckDB oracle computes identical values.
+  */
+object Similarity {
+
+  /** Σ a_i * b_i over two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine near-duplicate pairs above `threshold`, blocked by
+    * `label` (the quantizer cell): at scale the label plays the role of
+    * a coarse IVF centroid assignment — only same-cell pairs are
+    * compared, so the join shuffles on label instead of exploding n². */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), scan all candidates once and keep the k best per query
+    * via a window. The scan side never shuffles the full table — only
+    * the (nQueries × candidates) joined rows, pruned by the window.
+    * Ranking is on the ROUNDED cosine with vec_id tie-break so the
+    * result is stable across engines and partitionings. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = embeddings.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos",
+        round(cosine(col("q.embedding"), col("c.embedding")), 6))
+    val w = Window
+      .partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id").asc)
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("vec_id"),
+        col("cos"),
+        col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
+    * +1/-1 from one md5 hex digit — portable to any engine. */
+  private def planeSign(plane: Int, dim: Column): Column = {
+    val h = md5(concat(lit(s"plane$plane|"), dim.cast("string")))
+    when(conv(substring(h, 1, 1), 16, 10).cast("int") >= 8, 1.0).otherwise(-1.0)
+  }
+
+  /** Random-hyperplane LSH bucket signature: bit p = sign(Σ_i s_pi x_i).
+    * `nPlanes` bits → one int bucket. Scan-side scalar computation. */
+  def lshBucket(embedding: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          embedding,
+          transform(sequence(lit(0), lit(63)), i => planeSign(p, i)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1 << p).otherwise(0): Column
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket,
+    * then exact cosine top-k within it. Sub-linear candidate volume at
+    * scale (bucket pruning happens before the join); recall < 1 is the
+    * accepted trade — measured against bruteForceTopK in tests. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val cand = embeddings.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val q = queries.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val joined = cand.as("c")
+      .join(broadcast(q.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos",
+        round(cosine(col("q.embedding"), col("c.embedding")), 6))
+    val w = Window
+      .partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id").asc)
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("vec_id"),
+        col("cos"),
+        col("rnk"))
+  }
+}

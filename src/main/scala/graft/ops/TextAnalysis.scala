@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID (stopword
+  * heuristic), quality scoring, token counting, and rolling-hash
+  * document fingerprinting (winnowing).
+  *
+  * Every op here is a pure scan-side projection — no shuffle at all —
+  * so it streams at full scan bandwidth at 100 TB and stays inside
+  * whole-stage codegen (scalar higher-order functions, no UDFs).
+  */
+object TextAnalysis {
+
+  import TextDedup.tokens
+
+  /** Language profiles: marker stopwords per language. Deterministic
+    * argmax with alphabetical tie-break. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("的", "是", "在", "了", "和")
+  )
+
+  /** N-gram/stopword language-ID heuristic: score(lang) = #tokens in
+    * that language's marker set; predicted = argmax, ties to the
+    * alphabetically-first language (profiles are pre-sorted). */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    // array_max on struct(score, lang): max score, then max lang — to get
+    // alphabetical-FIRST tie-break, compare on (score, reversed-lang) is
+    // overkill; instead reduce explicitly left-to-right keeping strict >
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }
+    documents.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").cast("int").as("score")
+    )
+  }
+
+  /** Quality scoring: token count, average token length, stopword
+    * ratio, and a bounded composite score. All integer/rational
+    * arithmetic until the final round so the oracle matches exactly. */
+  def quality(documents: DataFrame): DataFrame = {
+    val stop = langProfiles.flatMap(_._2).distinct
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _)))
+    documents.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(
+        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (nStop.cast("double") / nTok) * 0.5, 6).as("quality")
+    )
+  }
+
+  /** Token statistics: whitespace tokens, distinct tokens, and BPE-ish
+    * subtokens (maximal lowercase-alpha runs — a portable regex). */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_runs"),
+      length(col("text")).as("n_chars")
+    )
+  }
+
+  /** Winnowing fingerprint: positional 3-word shingles → md5 per
+    * shingle → window-of-4 minima → sorted distinct minima → one md5
+    * over their concatenation. Fully scalar (arrays, no shuffle). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    // positional (NOT distinct) shingle hashes
+    val hashes = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => md5(array_join(slice(w, i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val winMins = when(size(hashes) >= 4,
+      transform(sequence(lit(1), size(hashes) - 3),
+        p => array_min(slice(hashes, p, lit(4)))))
+      .otherwise(hashes)
+    val fps = array_sort(array_distinct(winMins))
+    documents.select(
+      col("doc_id"),
+      md5(array_join(fps, "")).as("fingerprint"),
+      size(fps).as("n_grams")
+    )
+  }
+}
