@@ -1,0 +1,238 @@
+package graft.crawl
+
+import graft.html.HtmlScanner.escape
+
+/** Deterministic synthetic web (FIXTURES.md §1): a pure function
+  * url → html generated from `seed`, standing in for the network (the
+  * sandbox has none). Emits exactly the restricted grammar the scanner
+  * supports — the id/class vocabulary of the reference's selectors.
+  *
+  * Graph features: category tree with deterministic branching, cross
+  * links (cycles + cross-page duplicate discoveries), in-page duplicate
+  * article lis (the J2 quirk), pagination chains (下一页 anchors),
+  * missing pages (404), the reference's blocked-category URL, multiple
+  * hosts for scaling benches, per-host robots bodies.
+  */
+final case class WebSpec(
+    seed: Long = 42L,
+    nCats: Int = 40,
+    nArticles: Int = 60,
+    nHosts: Int = 1,
+    branching: Int = 3,
+    articlesPerCat: Int = 4,
+    nSeeds: Int = 2,
+    withBlocked: Boolean = true,
+    robots: RobotsPolicy = RobotsPolicy.allowAll
+) extends Serializable
+
+object PageStore {
+
+  /** Exact blocked-category constant from `zhwiki_all.py:153` (the
+    * stroke-count sort category). */
+  val BlockedUrl =
+    "https://zh.wikipedia.org/wiki/Category:%E4%BD%BF%E7%94%A8%E9%83%A8%E9%A6%96%E7%9A%84%E7%AD%86%E5%8A%83%E6%95%B8%E4%BD%9C%E7%82%BA%E6%8E%92%E5%BA%8F%E9%8D%B5%E5%80%BC%E7%9A%84%E5%88%86%E9%A1%9E"
+}
+
+final class PageStore(val spec: WebSpec) extends Serializable {
+  import PageStore._
+
+  /** Deterministic 64-bit mix of (seed, s). */
+  private def h(s: String): Long = {
+    var x = spec.seed ^ 0x9e3779b97f4a7c15L
+    s.foreach { c => x = (x ^ c.toLong) * 0xff51afd7ed558ccdL; x ^= (x >>> 33) }
+    x & Long.MaxValue
+  }
+
+  def hostOfCat(c: Int): String =
+    if (spec.nHosts == 1) "zh.wikipedia.org"
+    else s"host${c % spec.nHosts}.graft.example"
+  def originOfCat(c: Int): String = s"https://${hostOfCat(c)}"
+
+  def catUrl(c: Int, page: Int = 1): String =
+    originOfCat(c) + "/wiki/Category:K" + c + (if (page > 1) s"_p$page" else "")
+  def catTitle(c: Int): String = s"Category:K$c"
+  def articleUrl(c: Int, a: Int): String = originOfCat(c) + "/wiki/A" + a
+  def articleTitle(a: Int): String = s"A${a}条目"
+
+  /** Seed categories: roots 0..nSeeds-1 (in-code seed list analog,
+    * `zhwiki_all.py:109-122`). Rows shaped like the seed CSV (S3). */
+  def seeds: Vector[(String, String, String, Int)] =
+    (0 until spec.nSeeds).toVector.map(c => (catUrl(c), catTitle(c), "seed", 0))
+
+  def childCats(c: Int): Seq[Int] = {
+    val base = (0 until spec.branching).map(k => c * spec.branching + k + 1)
+      .filter(_ < spec.nCats)
+    // cross link: cycle/duplicate edge to an earlier or unrelated cat
+    val cross = if (h(s"cross$c") % 3 == 0) Seq(((c * 7 + 3) % spec.nCats)) else Seq.empty
+    base ++ cross
+  }
+
+  def catArticles(c: Int): Seq[Int] =
+    (0 until spec.articlesPerCat).map(j => (c * spec.articlesPerCat + j) % spec.nArticles)
+
+  def isMissing(c: Int): Boolean = c != 0 && h(s"missing$c") % 17 == 0
+
+  def hasPagination(c: Int): Boolean = h(s"page$c") % 4 == 0
+
+  /** In-page duplicate article li (J2 quirk source). */
+  def hasInPageDup(c: Int): Boolean = h(s"dup$c") % 5 == 0
+
+  private def li(href: String, title: String): String =
+    s"""<li><a href="${escape(href)}" title="${escape(title)}">${escape(title)}</a></li>"""
+
+  /** Category page HTML (subcategories + pages + pagination anchors). */
+  def categoryHtml(c: Int, page: Int): String = {
+    val sb = new StringBuilder("<html><body>")
+    val kids = childCats(c)
+    val arts = catArticles(c)
+    val paged = hasPagination(c)
+    // page 1 carries subcats + first half of articles; page 2 the rest
+    val (artsHere, hasNext) =
+      if (!paged) (arts, false)
+      else if (page == 1) (arts.take(arts.length / 2), true)
+      else (arts.drop(arts.length / 2), false)
+
+    if (page == 1 && (kids.nonEmpty || spec.withBlocked)) {
+      sb.append("""<div id="mw-subcategories"><ul>""")
+      kids.foreach { k => sb.append(li(s"/wiki/Category:K$k", catTitle(k))) }
+      if (spec.withBlocked && c == 0 && spec.nHosts == 1) {
+        // the blocked category appears as a normal subcat li; its href
+        // must resolve to the exact reference constant
+        val path = BlockedUrl.stripPrefix("https://zh.wikipedia.org")
+        sb.append(li(path, "Category:笔画排序"))
+      }
+      sb.append("</ul></div>")
+    }
+    if (artsHere.nonEmpty || hasNext) {
+      sb.append("""<div id="mw-pages"><ul>""")
+      artsHere.foreach { a => sb.append(li(s"/wiki/A$a", articleTitle(a))) }
+      if (hasInPageDup(c) && artsHere.nonEmpty) {
+        val a = artsHere.head
+        sb.append(li(s"/wiki/A$a", articleTitle(a))) // J2 in-page duplicate
+      }
+      sb.append("</ul>")
+      if (hasNext)
+        sb.append(
+          s"""<a href="/wiki/Category:K${c}_p2" title="${escape(catTitle(c))}">下一页</a>""")
+      sb.append("</div>")
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Article page HTML exercising X2–X7 feature branches by hash. */
+  def articleHtml(a: Int): String = {
+    val v = h(s"art$a")
+    val sb = new StringBuilder("""<html><body><div class="mw-parser-output">""")
+    // empty first paragraph to skip, then the real one (X2 branches)
+    sb.append("<p>  </p>")
+    sb.append(s"""<p>A${a}是一個關於<a href="/wiki/A${(a + 1) % spec.nArticles}" title="x">國家歷史</a>的條目""")
+    sb.append(s"""<sup>note</sup><a href="#cite_note-1">[1]</a>，記述東車馬島。</p>""")
+    // images (X4) with an in-article duplicate href when v%3==0
+    val nImg = 1 + (v % 3).toInt
+    sb.append((0 until nImg).map { i =>
+      s"""<a class="image" href="/wiki/File:Img${a}_$i.jpg"><img src="//upload.graft/img${a}_$i.png" alt="img$a-$i"/></a>"""
+    }.mkString)
+    if (v % 3 == 0)
+      sb.append(
+        s"""<a class="image" href="/wiki/File:Img${a}_0.jpg"><img src="//upload.graft/img${a}_0.png" alt="dup"/></a>""")
+    // thumbs (X6)
+    if (v % 2 == 0) {
+      sb.append("""<div class="thumbinner"><div class="theader">圖頭</div>""")
+      sb.append(s"""<a class="image" href="/wiki/File:Th${a}_1.jpg"><img src="//upload.graft/th$a.png" alt="t"/></a>""")
+      sb.append(s"""<a class="image" href="/wiki/File:Th${a}_2.jpg"><img src="//upload.graft/th2$a.png" alt="t2"/></a>""")
+      sb.append(s"""<div class="thumbcaption">說明A$a</div></div>""")
+    }
+    sb.append(infoboxHtml(a, v))
+    sb.append("</div>") // mw-parser-output
+    // TOC (X3) — reference looks it up on the whole soup
+    if (v % 2 == 1) {
+      sb.append("""<div id="toc" class="toc" aria-labelledby="mw-toc-heading"><ul>""")
+      sb.append("""<li><a href="#s1"><span class="tocnumber">1</span> <span class="toctext">歷史</span></a></li>""")
+      sb.append("""<li><a href="#s2"><span class="tocnumber">2</span> <span class="toctext">地理</span></a></li>""")
+      sb.append("</ul></div>")
+    }
+    // interlanguage (X5)
+    if (v % 2 == 0) {
+      sb.append("""<div class="lang-box"><h3 id="p-lang-label">lang</h3><ul>""")
+      sb.append(s"""<li class="interwiki-en"><a href="https://en.wikipedia.org/wiki/A$a">English</a></li>""")
+      sb.append("</ul></div>")
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Infobox variants cycling through the restricted branch set. */
+  private def infoboxHtml(a: Int, v: Long): String = (v % 5) match {
+    case 0 => "" // no infobox
+    case 1 => // caption + th/td rows + ul td
+      s"""<table class="infobox"><caption>條目A$a</caption><tbody>
+          <tr><th>名稱</th><td>值甲<br/>值乙</td></tr>
+          <tr><th>鏈接</th><td><a href="/wiki/A${(a + 2) % spec.nArticles}" title="鄰">鄰居</a>與文字</td></tr>
+          <tr><th>列表</th><td><ul><li>項目一</li><li><a href="/wiki/File:F$a.jpg">項目二</a></li></ul></td></tr>
+          </tbody></table>"""
+    case 2 => // th-only first key + background second key + bullet third
+      s"""<table class="infobox"><tbody>
+          <tr><th>標題A$a</th></tr>
+          <tr><th style="background:#ccf; text-align: center">分區</th></tr>
+          <tr><th>• 子項</th><td>內容一</td></tr>
+          <tr><th>普通鍵</th><td>內容二</td></tr>
+          </tbody></table>"""
+    case 3 => // multi-th row + td-only row + b sub-key td
+      s"""<table class="infobox"><tbody>
+          <tr><th>欄一</th><th>欄二</th></tr>
+          <tr><td><b>加粗鍵</b>其後文字<br/>第二行</td></tr>
+          <tr><td><span class="wrap">行內<a href="/wiki/A${(a + 3) % spec.nArticles}" title="表鏈">表鏈</a></span></td></tr>
+          </tbody></table>"""
+    case _ => // first-tr background td first key + img td
+      s"""<table class="infobox"><tbody>
+          <tr><td style="background:#eef">抬頭A$a</td></tr>
+          <tr><th>圖</th><td><img src="//upload.graft/box$a.png" alt="盒圖"/></td></tr>
+          <tr><th>空值</th><td>  </td></tr>
+          </tbody></table>"""
+  }
+
+  /** Media byte "download" (S11 analog): deterministic synthetic bytes
+    * keyed by the image page URL; ~1/13 of images fail permanently
+    * (the pic_remain.csv path, `zhwiki_leafs.py:1498-1502`). */
+  def fetchMediaBytes(wikiUrl: String): Option[Array[Byte]] = {
+    val v = h(s"media$wikiUrl")
+    if (v % 13 == 0) None
+    else {
+      val n = 64 + (v % 192).toInt
+      val b = new Array[Byte](n)
+      var x = v
+      (0 until n).foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        b(i) = (x >>> 56).toByte
+      }
+      Some(b)
+    }
+  }
+
+  /** The "network": url → html. None = 404/500 (reference short-circuit
+    * P8) or robots-denied (treated identically by the crawl spec). */
+  def fetch(url: String): Option[String] = {
+    if (!spec.robots.allowed(url)) return None
+    if (url == BlockedUrl) return None // never fetched anyway (never enqueued)
+    val path = {
+      val i = url.indexOf("/wiki/")
+      if (i == -1) return None
+      url.substring(i + 6)
+    }
+    if (path.startsWith("Category:K")) {
+      val rest = path.stripPrefix("Category:K")
+      val (cs, page) = rest.split("_p") match {
+        case Array(x)    => (x, 1)
+        case Array(x, p) => (x, p.toInt)
+      }
+      val c = cs.toIntOption.getOrElse(return None)
+      if (c < 0 || c >= spec.nCats || isMissing(c)) None
+      else Some(categoryHtml(c, page))
+    } else if (path.startsWith("A")) {
+      path.stripPrefix("A").takeWhile(_.isDigit).toIntOption
+        .filter(a => a >= 0 && a < spec.nArticles)
+        .map(articleHtml)
+    } else None
+  }
+}

@@ -1,0 +1,425 @@
+package graft.html
+
+import scala.collection.mutable
+import graft.functions.TextNorm.{checkRepeatKey, strRe}
+import graft.functions.UrlFunctions.{canonicalizeLink, ResolvedLink}
+import HtmlScanner._
+
+/** Infobox extractor — a faithful RESTRICTED subset of the reference's
+  * `get_table_info_3` (`zhwiki_leafs.py:930-1370`) + `get_td_contents`
+  * (`:316-918`) + `get_one_tag_content_br` (`:282-314`), covering the
+  * branches the synthetic page generator emits (SURVEY.md §7.6: full
+  * Wikipedia-template coverage is unreachable offline; grammar and
+  * parser are co-designed, the oracle SimCrawler uses this same code,
+  * so span equality tests the pipeline).
+  *
+  * Supported branches: caption key (`:943-953`), multi-th row
+  * (`:961-980`), th-only row with background/navbox-title/text-align
+  * styles (`:982-1059`), th+td rows incl. '•'-prefixed third/fourth
+  * keys (`:1061-1129`), first-tr background-td first key
+  * (`:1134-1147`), td content: inline text/links with <br> splits,
+  * <b> sub-keys, ul/plainlist/hlist li lists, img entries, the
+  * e6e9ff/right/xx-small template filter (`:331-335`), 封面图片 /
+  * td_content default heads, border-top should_under_first_key, and
+  * `clean_blank_table_info` (`:218-231`).
+  */
+object InfoboxParser {
+
+  /** Infobox value tree: insertion-ordered dict or string list. */
+  sealed trait IV
+  final case class IDict(m: mutable.LinkedHashMap[String, IV] = mutable.LinkedHashMap.empty)
+      extends IV {
+    def keys: collection.Set[String] = m.keySet
+    def apply(k: String): IV = m(k)
+    def update(k: String, v: IV): Unit = m(k) = v
+  }
+  final case class IList(items: mutable.Buffer[String] = mutable.Buffer.empty) extends IV
+
+  /** A fresh {list, links, links_title, links_ori_title} leaf node. */
+  private def newLeaf(): IDict = {
+    val d = IDict()
+    d("list") = IList()
+    d("links") = IList()
+    d("links_title") = IList()
+    d("links_ori_title") = IList()
+    d
+  }
+
+  private def addThLinks(d: IDict, links: Seq[ResolvedLink]): Unit = {
+    val tl = IDict()
+    tl("links") = IList(links.map(_.url).toBuffer)
+    tl("links_title") = IList(links.map(_.title).toBuffer)
+    tl("links_ori_title") = IList(links.map(_.oriTitle).toBuffer)
+    d("th_links") = tl
+  }
+
+  private def leafList(d: IDict): IList = d("list").asInstanceOf[IList]
+  private def extendLinks(d: IDict, links: Seq[ResolvedLink]): Unit = {
+    d("links").asInstanceOf[IList].items ++= links.map(_.url)
+    d("links_title").asInstanceOf[IList].items ++= links.map(_.title)
+    d("links_ori_title").asInstanceOf[IList].items ++= links.map(_.oriTitle)
+  }
+
+  private def styleOf(e: HElem): String = e.attr("style").getOrElse("")
+  private def hasStyle(e: HElem, re: String): Boolean =
+    java.util.regex.Pattern.compile(re).matcher(styleOf(e)).find()
+
+  /** get_links_title over a sequence of anchors (`zhwiki_leafs.py:238-271`),
+    * skipping mw-selflink selflink anchors. */
+  def resolveAnchors(pageUrl: String, basePreUrl: String, anchors: Seq[HElem]): Seq[ResolvedLink] =
+    anchors.flatMap { a =>
+      if (a.classes.contains("mw-selflink") && a.classes.contains("selflink")) None
+      else {
+        val href = a.attr("href").getOrElse("")
+        val imgAlt = a.findFirst(_.name == "img").flatMap(_.attr("alt"))
+        Some(canonicalizeLink(pageUrl, basePreUrl, href, a.text, a.attr("title"), a.classes, imgAlt))
+      }
+    }
+
+  private def anchorsIn(e: HElem): Seq[HElem] = e.findByTag("a")
+
+  /** `get_one_tag_content_br` (`zhwiki_leafs.py:282-314`) restricted:
+    * br→'\n', strings→strRe, anchors→text+link, other tags→recurse.
+    * (NavFrame/nested-table inside th are not in the restricted grammar.) */
+  def tagContentBr(pageUrl: String, base: String, tag: HElem): (String, Seq[ResolvedLink]) = {
+    val sb = new StringBuilder
+    val links = mutable.Buffer.empty[ResolvedLink]
+    tag.children.foreach {
+      case HText(t) => sb.append(strRe(t))
+      case e: HElem =>
+        e.name match {
+          case "br" => sb.append('\n')
+          case "a" =>
+            sb.append(strRe(e.text))
+            links ++= resolveAnchors(pageUrl, base, Seq(e))
+          case _ =>
+            val (s, ls) = tagContentBr(pageUrl, base, e)
+            sb.append(s)
+            links ++= ls
+        }
+    }
+    (strRe(sb.toString), links.toSeq)
+  }
+
+  /** stripped_strings joined with '\n' then strRe — the reference's
+    * recurring `str_re("\n".join(list(x.stripped_strings)))`. */
+  private def joinedStripped(e: HElem): String = strRe(e.strippedStrings.mkString("\n"))
+
+  /** `get_td_contents` (`zhwiki_leafs.py:316-918`) restricted subset.
+    * Returns (dict or null, defaultTdHead, shouldUnderFirstKey). */
+  def tdContents(pageUrl: String, base: String, td: HElem): Option[(IDict, String, Boolean)] = {
+    // drop pure-whitespace text children (reference `:318-322`)
+    val contents = td.children.filter {
+      case HText(t) => t.trim.nonEmpty
+      case _        => true
+    }
+    if (contents.isEmpty) return None
+    // template filter (`:331-335`)
+    if (hasStyle(td, "background:\\s*#e6e9ff") && hasStyle(td, "text-align:\\s*right") &&
+      hasStyle(td, "font-size:\\s*xx-small")) return None
+
+    val d = newLeaf()
+    var defaultHead = "td_content"
+    var shouldUnderFirst = false
+    var listAdd = ""
+    var tdMiddleB = ""
+
+    def elemAt(i: Int): Option[HElem] = contents.lift(i).collect { case e: HElem => e }
+
+    // default_td_head shapes (`:337-345`)
+    if (contents.length == 2 && elemAt(0).exists(_.name == "a") && elemAt(1).exists(_.name == "div"))
+      defaultHead = "封面图片"
+    else if (contents.length == 1 && elemAt(0).exists(e =>
+        e.name == "a" && e.findFirst(_.name == "img").isDefined))
+      defaultHead = "封面图片"
+    else if (td.findFirst(e => e.name == "div" && e.classes.contains("thumbinner")).isDefined)
+      defaultHead = "封面图片"
+
+    if (styleOf(td).contains("border-top")) shouldUnderFirst = true // `:347-348`
+
+    def targetDict(): IDict =
+      if (tdMiddleB.isEmpty) d else d(tdMiddleB).asInstanceOf[IDict]
+
+    var firstContent = true
+    contents.foreach {
+      case HText(t) => listAdd += strRe(t)
+      case e: HElem =>
+        e.name match {
+          case "br" if listAdd.nonEmpty => // `:361-367`
+            leafList(targetDict()).items += listAdd
+            listAdd = ""
+          case "br" => // empty accumulator: reference does nothing
+          case "ul" => // multi-li branch (`:480-503`)
+            e.findByTag("li").foreach { li =>
+              val liText = strRe(li.text)
+              if (liText.nonEmpty) leafList(targetDict()).items += liText
+              extendLinks(targetDict(), resolveAnchors(pageUrl, base, anchorsIn(li)))
+            }
+          case "div" if e.classes.contains("plainlist") || e.classes.contains("hlist") =>
+            e.findByTag("li").foreach { li =>
+              val liText = strRe(li.text)
+              if (liText.nonEmpty) leafList(targetDict()).items += liText
+              extendLinks(targetDict(), resolveAnchors(pageUrl, base, anchorsIn(li)))
+            }
+          case "b" => // <b> sub-key (`:549-560`)
+            tdMiddleB = strRe(e.text)
+            val sub = newLeaf()
+            addThLinks(sub, resolveAnchors(pageUrl, base, anchorsIn(e)))
+            d(tdMiddleB) = sub
+            if (firstContent && e.text.endsWith("：") && hasStyle(td, "text-align:\\s*center"))
+              shouldUnderFirst = true
+          case "img" => // img entry (`:887-896`)
+            var src = e.attr("src").getOrElse("")
+            if (src.startsWith("//")) src = "https:" + src
+            var alt = e.attr("alt").getOrElse("")
+            if (alt.isEmpty) alt = src.split("wikipedia/").last
+            d("links").asInstanceOf[IList].items += src
+            d("links_title").asInstanceOf[IList].items += alt
+            d("links_ori_title").asInstanceOf[IList].items += alt
+          case _ => // generic inline fallthrough (`:897-910`)
+            val (txt, _) = tagContentBr(pageUrl, base, e)
+            listAdd += strRe(txt)
+            val anchors =
+              if (e.name == "a") e +: anchorsIn(e) else anchorsIn(e)
+            extendLinks(d, resolveAnchors(pageUrl, base, anchors))
+        }
+        firstContent = false
+    }
+    if (listAdd.nonEmpty) leafList(targetDict()).items += listAdd // `:913-917`
+    Some((d, defaultHead, shouldUnderFirst))
+  }
+
+  /** `get_table_info_3` (`zhwiki_leafs.py:930-1370`) restricted subset. */
+  def parse(pageUrl: String, basePreUrl: String, table: HElem): IDict = {
+    val tot = IDict()
+    val tbody = table.childElems.find(_.name == "tbody").getOrElse(return tot)
+    val trs = tbody.childElems.filter(_.name == "tr")
+
+    var firstKey = ""
+    var secondKey = ""
+    var secondKeyBackground = false
+    var thirdKey = ""
+    var fourthKey = ""
+    var firstTr = true
+    var tdToThirdKey = false
+    var tdToSecondKey = false
+
+    def dictAt(path: Seq[String]): IDict =
+      path.foldLeft(tot: IDict)((d, k) => d(k).asInstanceOf[IDict])
+
+    // caption branch (`:943-953`)
+    table.childElems.find(_.name == "caption").foreach { cap =>
+      val capStr = joinedStripped(cap)
+      val links = resolveAnchors(pageUrl, basePreUrl, anchorsIn(cap))
+      firstKey = capStr
+      secondKey = ""; thirdKey = ""; fourthKey = ""
+      val leaf = newLeaf()
+      addThLinks(leaf, links)
+      tot(firstKey) = leaf
+    }
+
+    trs.foreach { tr =>
+      val ths = tr.childElems.filter(_.name == "th")
+      val tds = tr.childElems.filter(_.name == "td")
+      val th = ths.headOption
+
+      if (ths.length > 1) { // multi-th row (`:961-980`)
+        firstKey = "table_content"
+        secondKey = ""; thirdKey = ""; fourthKey = ""
+        tot(firstKey) = newLeaf()
+        ths.foreach { curTh =>
+          val s = joinedStripped(curTh)
+          val links = resolveAnchors(pageUrl, basePreUrl, anchorsIn(curTh))
+          secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+          thirdKey = ""; fourthKey = ""
+          val leaf = newLeaf()
+          addThLinks(leaf, links)
+          dictAt(Seq(firstKey))(secondKey) = leaf
+        }
+      }
+
+      if (th.isDefined && tds.isEmpty && ths.length == 1) { // th-only (`:982-1059`)
+        val t = th.get
+        val (thStr, thLinks) = tagContentBr(pageUrl, basePreUrl, t)
+        if (firstKey.isEmpty) {
+          firstKey = thStr
+          secondKey = ""; thirdKey = ""; fourthKey = ""
+          tdToThirdKey = false; tdToSecondKey = false
+          val leaf = newLeaf()
+          addThLinks(leaf, thLinks)
+          tot(firstKey) = leaf
+        } else {
+          val bgLike = styleOf(t).contains("background") ||
+            t.classes.contains("navbox-title") ||
+            (hasStyle(t, "text-align:\\s*center") && !hasStyle(t, "text-align:\\s*left"))
+          if (bgLike) {
+            secondKeyBackground = true
+            secondKey = checkRepeatKey(thStr, dictAt(Seq(firstKey)).keys)
+            thirdKey = ""; fourthKey = ""
+            tdToThirdKey = false; tdToSecondKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey))(secondKey) = leaf
+          } else if (secondKeyBackground) {
+            thirdKey = checkRepeatKey(thStr, dictAt(Seq(firstKey, secondKey)).keys)
+            fourthKey = ""
+            tdToThirdKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          } else {
+            secondKey = checkRepeatKey(thStr, dictAt(Seq(firstKey)).keys)
+            thirdKey = ""; fourthKey = ""
+            tdToThirdKey = false; tdToSecondKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey))(secondKey) = leaf
+          }
+        }
+      } else if (th.isDefined && ths.length == 1) { // th+td (`:1061-1129`)
+        val t = th.get
+        val thStr = joinedStripped(t)
+        val thLinks = resolveAnchors(pageUrl, basePreUrl, anchorsIn(t))
+        if (thStr.startsWith("•")) {
+          if (secondKeyBackground) {
+            if (thirdKey.nonEmpty) {
+              fourthKey = checkRepeatKey(thStr, dictAt(Seq(firstKey, secondKey, thirdKey)).keys)
+              val leaf = newLeaf()
+              addThLinks(leaf, thLinks)
+              dictAt(Seq(firstKey, secondKey, thirdKey))(fourthKey) = leaf
+            } else {
+              thirdKey = checkRepeatKey(thStr, dictAt(Seq(firstKey, secondKey)).keys)
+              fourthKey = ""
+              tdToThirdKey = false
+              val leaf = newLeaf()
+              addThLinks(leaf, thLinks)
+              dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+            }
+          } else {
+            thirdKey = checkRepeatKey(thStr, dictAt(Seq(firstKey, secondKey)).keys)
+            fourthKey = ""
+            tdToThirdKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          }
+        } else {
+          if (secondKeyBackground) {
+            thirdKey = checkRepeatKey(thStr, dictAt(Seq(firstKey, secondKey)).keys)
+            fourthKey = ""
+            tdToThirdKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          } else {
+            if (firstKey.isEmpty) {
+              firstKey = "table_content"
+              tot(firstKey) = newLeaf()
+            }
+            secondKey = checkRepeatKey(thStr, dictAt(Seq(firstKey)).keys)
+            thirdKey = ""; fourthKey = ""
+            tdToThirdKey = false; tdToSecondKey = false
+            val leaf = newLeaf()
+            addThLinks(leaf, thLinks)
+            dictAt(Seq(firstKey))(secondKey) = leaf
+          }
+        }
+      }
+
+      // td loop (`:1131-1368`)
+      var firstTd = true
+      tds.foreach { td =>
+        var handled = false
+        if (firstKey.isEmpty) {
+          if (firstTr && styleOf(td).contains("background")) { // `:1135-1147`
+            firstKey = joinedStripped(td)
+            secondKey = ""; thirdKey = ""; fourthKey = ""
+            val leaf = newLeaf()
+            addThLinks(leaf, resolveAnchors(pageUrl, basePreUrl, anchorsIn(td)))
+            tot(firstKey) = leaf
+            firstTd = false
+            handled = true
+          } else { // `:1148-1153`
+            firstKey = "table_content"
+            secondKey = ""; thirdKey = ""; fourthKey = ""
+            tot(firstKey) = newLeaf()
+          }
+        }
+        if (!handled) {
+          tdContents(pageUrl, basePreUrl, td) match {
+            case None => firstTd = false
+            case Some((tdDict, head, shouldUnderFirst)) =>
+              // attach with repeat-suffix at the chosen level (`:1336-1367`)
+              // reference condition `:1339`: second=="" or (under_first and
+              // not bg-second) or (under_first and table-th-bg); the
+              // table-th-bg flag comes only from NavFrame/toccolours
+              // branches outside the restricted grammar (always false here)
+              val target: IDict =
+                if (secondKey.isEmpty || (shouldUnderFirst && !secondKeyBackground))
+                  dictAt(Seq(firstKey))
+                else if (thirdKey.isEmpty || (th.isEmpty && secondKeyBackground && !tdToThirdKey))
+                  dictAt(Seq(firstKey, secondKey))
+                else if (fourthKey.isEmpty) dictAt(Seq(firstKey, secondKey, thirdKey))
+                else dictAt(Seq(firstKey, secondKey, thirdKey, fourthKey))
+              var key = head
+              var cnt = 2
+              while (target.keys.contains(key)) { key = head + "_" + cnt; cnt += 1 }
+              target(key) = tdDict
+              firstTd = false
+          }
+        }
+      }
+      firstTr = false
+    }
+    cleanBlank(tot).asInstanceOf[IDict]
+  }
+
+  /** `clean_blank_table_info` (`zhwiki_leafs.py:218-231`): drop empty
+    * lists everywhere; drop empty sub-dicts only for th_links /
+    * td_content* / table_td* keys. */
+  def cleanBlank(d: IDict): IV = {
+    val out = IDict()
+    d.m.foreach { case (k, v) =>
+      v match {
+        case sub: IDict =>
+          val cleaned = cleanBlank(sub).asInstanceOf[IDict]
+          val dropEligible =
+            k == "th_links" || k.startsWith("td_content") || k.startsWith("table_td")
+          if (!(cleaned.m.isEmpty && dropEligible)) out(k) = cleaned
+        case l: IList =>
+          if (l.items.nonEmpty) out(k) = l
+      }
+    }
+    out
+  }
+
+  /** Python-style JSON: `json.dumps(..., ensure_ascii=False, indent=4)`
+    * (`zhwiki_leafs.py:1420`) — insertion order preserved. */
+  def toJson(v: IV, indent: Int = 0): String = {
+    val pad = " " * indent
+    val pad2 = " " * (indent + 4)
+    def esc(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    v match {
+      case IDict(m) =>
+        if (m.isEmpty) "{}"
+        else
+          m.map { case (k, vv) => s"""$pad2"${esc(k)}": ${toJson(vv, indent + 4)}""" }
+            .mkString("{\n", ",\n", s"\n$pad}")
+      case IList(items) =>
+        if (items.isEmpty) "[]"
+        else items.map(i => s"""$pad2"${esc(i)}"""").mkString("[\n", ",\n", s"\n$pad]")
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IceLite: a minimal snapshot-versioned Parquet table (SURVEY.md §7.1).
+  *
+  * No Iceberg jar ships in this sandbox, so this layer supplies the
+  * four Iceberg properties the crawl actually needs:
+  *   - atomic append (write files → write manifest → atomic pointer swap),
+  *   - snapshot-isolated reads (a reader sees one manifest's file list),
+  *   - resume-from-snapshot (the LATEST pointer survives crashes: the
+  *     pointer is renamed into place, never partially written),
+  *   - lineage metadata per snapshot (superstep id + row counts).
+  *
+  * Layout:
+  *   dir/data/delta-<n>-<uuid>/part-*.parquet   (immutable data files)
+  *   dir/snapshots/v<n>.json                    (file list + lineage)
+  *   dir/LATEST                                 (current version number)
+  *
+  * On a real cluster the same commit protocol runs against an object
+  * store (rename→copy+swap via a metastore CAS); the interface is
+  * unchanged.
+  */
+final class IceLite(spark: SparkSession, dir: String) {
+
+  private val root: Path = Paths.get(dir)
+  private val dataDir = root.resolve("data")
+  private val snapDir = root.resolve("snapshots")
+  private val latest = root.resolve("LATEST")
+  Files.createDirectories(dataDir)
+  Files.createDirectories(snapDir)
+
+  def currentVersion: Int =
+    if (Files.exists(latest)) Files.readString(latest).trim.toInt else 0
+
+  private def manifest(v: Int): Path = snapDir.resolve(f"v$v%05d.json")
+
+  /** Data files of snapshot v (empty for v=0). */
+  def filesAt(v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else {
+      val txt = Files.readString(manifest(v))
+      // manifest format: one file path per line after the header line
+      txt.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+    }
+
+  /** Atomic append: new snapshot = previous files + df's files.
+    * Returns the new version. */
+  def append(df: DataFrame, lineage: String): Int = {
+    val v = currentVersion
+    val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
+    df.write.parquet(deltaDir.toString)
+    val newFiles = Files.list(deltaDir).iterator.asScala
+      .map(_.toString)
+      .filter(f => f.endsWith(".parquet"))
+      .toSeq
+      .sorted
+    commit(v, filesAt(v) ++ newFiles, lineage)
+  }
+
+  /** Replace the table content (used for per-superstep queue tables). */
+  def overwrite(df: DataFrame, lineage: String): Int = {
+    val v = currentVersion
+    val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
+    df.write.parquet(deltaDir.toString)
+    val newFiles = Files.list(deltaDir).iterator.asScala
+      .map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .toSeq
+      .sorted
+    commit(v, newFiles, lineage)
+  }
+
+  private def commit(prevV: Int, files: Seq[String], lineage: String): Int = {
+    val v = prevV + 1
+    val body = (lineage +: files).mkString("\n")
+    val tmp = snapDir.resolve(s".v$v.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifest(v), StandardCopyOption.ATOMIC_MOVE)
+    val ptrTmp = root.resolve(".LATEST.tmp")
+    Files.writeString(ptrTmp, v.toString)
+    Files.move(ptrTmp, latest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  def isEmpty: Boolean = filesAt(currentVersion).isEmpty
+
+  /** Snapshot read of the current version. */
+  def read(): DataFrame = readAt(currentVersion)
+
+  def readAt(v: Int): DataFrame = {
+    val fs = filesAt(v)
+    require(fs.nonEmpty, s"IceLite table $dir has no data at v$v")
+    spark.read.parquet(fs: _*)
+  }
+
+  def lineageAt(v: Int): String =
+    if (v == 0) "" else Files.readString(manifest(v)).linesIterator.next()
+}

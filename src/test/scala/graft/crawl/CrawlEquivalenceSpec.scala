@@ -1,0 +1,98 @@
+package graft.crawl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The correctness keystone (SURVEY.md §7.3 / BASELINE.json): the Spark
+  * frontier engine must reproduce the single-threaded oracle EXACTLY —
+  * frontier row order (Tot_urls/CSV order), crawl order (queue pops),
+  * and the final URL-seen set.
+  */
+class CrawlEquivalenceSpec extends SparkSpec {
+
+  private def engineVsSim(spec: WebSpec, cfgMod: CrawlConfig => CrawlConfig = identity): Unit = {
+    val store = new PageStore(spec)
+    val sim = SimCrawler.crawl(store,
+      if (spec.withBlocked) Set(PageStore.BlockedUrl) else Set.empty)
+
+    val cfg = cfgMod(CrawlConfig(
+      workDir = tmpDir("crawl"),
+      blockedUrls = if (spec.withBlocked) Set(PageStore.BlockedUrl) else Set.empty,
+      robots = spec.robots,
+      useBloom = false))
+    val engine = new FrontierEngine(spark, store, cfg)
+    engine.run()
+
+    // frontier rows: exact order + content
+    val engRows = engine.frontierOrdered()
+      .select("url", "title", "pre_url", "isleaf")
+      .collect()
+      .map { case Row(u: String, t: String, p: String, l: Int) => (u, t, p, l) }
+      .toVector
+    val simRows = sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf))
+    assert(engRows.size == simRows.size,
+      s"row count: engine=${engRows.size} sim=${simRows.size}")
+    engRows.zip(simRows).zipWithIndex.foreach { case ((e, s), i) =>
+      assert(e == s, s"row $i differs: engine=$e sim=$s")
+    }
+
+    // crawl order: exact pop order
+    val engOrder = engine.crawlOrder().select("url").collect().map(_.getString(0)).toVector
+    assert(engOrder == sim.crawlOrder, "crawl order differs")
+
+    // seen set
+    val engSeen = engine.seenSet().select("url").collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen, "seen set differs")
+  }
+
+  test("engine ≡ oracle on size-S web (blocked cat, dups, cycles, pagination, 404s)") {
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60))
+  }
+
+  test("engine ≡ oracle on a denser web (more cross links)") {
+    engineVsSim(WebSpec(seed = 7, nCats = 80, nArticles = 100, branching = 4, articlesPerCat = 6))
+  }
+
+  test("engine ≡ oracle under robots disallow") {
+    val robots = RobotsPolicy(Map("zh.wikipedia.org" -> Seq("/wiki/Category:K3")))
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60, robots = robots))
+  }
+
+  test("engine ≡ oracle with bloom prefilter enabled") {
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60),
+      c => c.copy(useBloom = true, bloomMinRows = 1))
+  }
+
+  test("parallelism invariance: same result at 2 fetch partitions") {
+    engineVsSim(WebSpec(nCats = 30, nArticles = 40),
+      c => c.copy(fetchPartitions = 2))
+  }
+
+  test("resume: killing after k supersteps and restarting yields identical state") {
+    val spec = WebSpec(nCats = 40, nArticles = 60)
+    val store = new PageStore(spec)
+    val sim = SimCrawler.crawl(store)
+    val dir = tmpDir("resume")
+    val cfg = CrawlConfig(workDir = dir, useBloom = false)
+
+    // run only 2 supersteps, then abandon the engine ("crash")
+    val e1 = new FrontierEngine(spark, store, cfg)
+    e1.init()
+    var nextSeq = e1.queue.read().count()
+    val (nq1, _) = e1.superstep(0, nextSeq)
+    nextSeq += nq1
+    val (nq2, _) = e1.superstep(1, nextSeq)
+    assert(nq2 > 0, "web too small for a resume test")
+
+    // fresh engine over the same workDir resumes from snapshots
+    val e2 = new FrontierEngine(spark, store, cfg)
+    e2.run()
+
+    val engRows = e2.frontierOrdered()
+      .select("url", "title", "pre_url", "isleaf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toVector
+    assert(engRows == sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf)))
+    val engSeen = e2.seenSet().select("url").collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+  }
+}

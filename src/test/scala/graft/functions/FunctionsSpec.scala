@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  import TextNorm._
+  import UrlFunctions._
+
+  test("strRe: '：' alone becomes empty, embedded stays") {
+    assert(strRe("：") == "")
+    assert(strRe("a：b") == "a：b")
+    assert(strRe("  x  ") == "x")
+    assert(strRe("a b c﻿") == "abc")
+    assert(strRe("  x  ") == "x")
+  }
+
+  test("checkRepeatKey: empty → empty_key; duplicates suffixed from _2") {
+    assert(checkRepeatKey("", Set()) == "empty_key")
+    assert(checkRepeatKey("k", Set()) == "k")
+    assert(checkRepeatKey("k", Set("k")) == "k_2")
+    assert(checkRepeatKey("k", Set("k", "k_2")) == "k_3")
+    assert(checkRepeatKey("", Set("empty_key")) == "empty_key_2")
+  }
+
+  test("zhHans maps only table chars") {
+    assert(zhHans("中國歷史") == "中国历史")
+    assert(zhHans("abc") == "abc")
+  }
+
+  test("quote/unquote round-trip like Python") {
+    assert(quote("中文 词条") == "%E4%B8%AD%E6%96%87%20%E8%AF%8D%E6%9D%A1")
+    assert(unquote("%E4%B8%AD%E6%96%87") == "中文")
+    assert(unquote("a+b") == "a+b") // Python unquote leaves '+'
+    assert(buildWikiUrl("https://zh.wikipedia.org", "A/B") ==
+      "https://zh.wikipedia.org/wiki/A/B")
+  }
+
+  test("hostOf / originOf") {
+    assert(hostOf("https://zh.wikipedia.org/wiki/X") == "zh.wikipedia.org")
+    assert(originOf("https://h1.x/wiki/Category:K1?page=2") == "https://h1.x")
+  }
+
+  test("canonicalizeLink branch coverage (zhwiki_leafs.py:238-271)") {
+    val base = "https://zh.wikipedia.org"
+    val page = "https://zh.wikipedia.org/wiki/P"
+    // cite_note fragment → page url + href
+    assert(canonicalizeLink(page, base, "#cite_note-1", "x", None, Set(), None).url
+      == page + "#cite_note-1")
+    // protocol-relative
+    assert(canonicalizeLink(page, base, "//up.wiki/x.png", "t", None, Set(), None).url
+      == "https://up.wiki/x.png")
+    // absolute passthrough
+    assert(canonicalizeLink(page, base, "http://en.wikipedia.org/wiki/X", "t", None, Set(), None).url
+      == "http://en.wikipedia.org/wiki/X")
+    // /wiki/ → base + href, oriTitle percent-decoded, File: stripped
+    val l = canonicalizeLink(page, base, "/wiki/File%3A圖.jpg", "", None, Set(), None)
+    assert(l.url == base + "/wiki/File%3A圖.jpg")
+    assert(l.oriTitle == "圖.jpg")
+    // title fallback chain: empty text → title attr unquoted
+    val l2 = canonicalizeLink(page, base, "/wiki/X", "", Some("%E4%B8%AD"), Set(), None)
+    assert(l2.title == "中")
+    // image-class fallback
+    val l3 = canonicalizeLink(page, base, "/wiki/F", "", None, Set("image"), Some("alt文"))
+    assert(l3.title == "alt文")
+    // kartographer fallback
+    val l4 = canonicalizeLink(page, base, "/wiki/M", "", None, Set("mw-kartographer-map"), None)
+    assert(l4.title == "mw-kartographer-map")
+    // last-path-segment fallback
+    val l5 = canonicalizeLink(page, base, "/wiki/Seg", "", None, Set(), None)
+    assert(l5.title == "Seg")
+  }
+
+  test("sanitize filename: narrow vs wide variants differ (fidelity quirk)") {
+    assert(sanitizeFilenameNarrow("a:b/c.d") == "a-b--c.d")
+    assert(sanitizeFilenameWide("a:b/c.d") == "a-b--c-d")
+    assert(sanitizeFilenameWide(""" x?*"<>|y\ """) == "x------y--")
+  }
+
+  test("mergeDict suffixes repeated keys in insertion order") {
+    val m = collection.mutable.LinkedHashMap[String, Any]("a" -> 1)
+    val r = mergeDict(m, collection.mutable.LinkedHashMap[String, Any]("a" -> 2, "b" -> 3))
+    assert(r.keys.toSeq == Seq("a", "a_2", "b"))
+  }
+}
