@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only: the heap must hold all executor-thread
+  // working sets (32 threads × parse buffers + parquet writers); 8g
+  // GC-thrashes at local[32] on this 125 GiB box
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-size the heap: lazy heap growth + GC churn while expanding
+  // makes first benchmark passes 20x slower otherwise
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
 )

@@ -24,6 +24,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.UrlExpressions.register(spark)
     spark
   }
 }

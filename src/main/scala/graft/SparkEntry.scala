@@ -74,12 +74,21 @@ object SparkEntry {
              i -> array_to_string(($w)[i:i+2], ' ')))
         ELSE [] END"""
 
-  private val minhashSigsSql =
+  /** one md5 per shingle → 31-bit value → universal hash per k with
+    * the SAME coefficient constants as TextDedup.minhashA/B */
+  private val minhashSigsSql = {
+    val coefRows = (0 until 16).map { k =>
+      s"(${k}, ${graft.ops.TextDedup.minhashA(k)}, ${graft.ops.TextDedup.minhashB(k)})"
+    }.mkString(", ")
     s"""WITH d AS (SELECT doc_id, ${shinglesSql(TOKS)} AS sh FROM documents),
-        ks AS (SELECT unnest(range(0,16)) AS k)
+        hv AS (SELECT doc_id,
+                 list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT & 2147483647) AS hs
+               FROM d WHERE len(sh) > 0),
+        coef(k, a, b) AS (VALUES $coefRows)
         SELECT doc_id, k::INT AS k,
-               list_min(list_transform(sh, s -> md5(concat(k::VARCHAR, '|', s)))) AS minhash
-        FROM d, ks WHERE len(sh) > 0"""
+               list_min(list_transform(hs, v -> (v * a + b) % 2147483647)) AS minhash
+        FROM hv, coef"""
+  }
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
@@ -167,7 +176,7 @@ object SparkEntry {
       s"""WITH sigs AS ($minhashSigsSql),
           bands AS (
             SELECT doc_id, (k // 4)::INT AS band,
-                   md5(string_agg(minhash, '|' ORDER BY k)) AS band_hash
+                   md5(string_agg(minhash::VARCHAR, '|' ORDER BY k)) AS band_hash
             FROM sigs GROUP BY 1, 2)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
           FROM bands a JOIN bands b

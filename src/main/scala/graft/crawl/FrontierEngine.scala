@@ -1,9 +1,10 @@
 package graft.crawl
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.UrlFunctions.{hostOf, originOf}
 import graft.html.CategoryExtractor
@@ -20,25 +21,29 @@ import graft.tables.IceLite
   *   (politeness token pacing + robots) → explode category links →
   *   • frontier rows: non-article rows unconditional; article rows
   *     anti-joined (J2: full 4-tuple vs all prior rows, in-page dups
-  *     kept) with optional Bloom prefilter
+  *     kept) behind a persistent Bloom prefilter
   *   • enqueue: first-wins per url by (parent_seq, emit_idx) →
   *     anti-join vs seen → blocklist (subcat section only) → contiguous
   *     seq assignment continuing the global crawl order
-  *   • atomic IceLite commits: frontier+seen+crawled append, queue
-  *     overwrite — crash-resume re-reads the last committed snapshots.
+  *   • atomic IceLite commits: frontier+seen append, queue overwrite —
+  *     crash-resume re-reads the last committed snapshots.
   *
   * Scale notes (10^10-URL design point):
-  *  - the only per-superstep shuffles are the host repartition, the
-  *    first-wins window (hash by url), and the two anti-joins;
-  *  - seen anti-join carries a Bloom prefilter (broadcast, ~1.2 GB at
-  *    10^9 keys / 1% fpp) so the sort-merge side only sees candidates
-  *    that MIGHT be seen; the exact anti-join stays authoritative
-  *    (bloom false positives must not change the seen set);
+  *  - per-superstep shuffles: the host repartition, the first-wins
+  *    window (hash by url), and the two anti-joins — nothing else;
+  *  - the Bloom filters are PERSISTENT and driver-merged: built once at
+  *    startup (or resume) and OR-merged with each superstep's candidate
+  *    delta, so no per-superstep full-table scan or count; the bloom is
+  *    a superset of the true set (false positives and over-approximated
+  *    deltas only route rows into the exact anti-join, which stays
+  *    authoritative — bloom can never change the seen set);
   *  - hot-host skew: a single host serializes politeness, so the host
   *    hash is salted (`saltFactor` slices/host) and each slice paces at
   *    budget/saltFactor — aggregate per-host rate preserved;
   *  - seq assignment uses sorted zipWithIndex (two narrow passes), not
-  *    a single-partition window.
+  *    a single-partition window;
+  *  - fetch metrics ride the one per-superstep collect (tiny rows), so
+  *    the cached fetch result is materialized exactly once.
   */
 final case class CrawlConfig(
     workDir: String,
@@ -48,11 +53,15 @@ final case class CrawlConfig(
     saltFactor: Int = 4,
     fetchPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions
     useBloom: Boolean = true,
-    bloomMinRows: Long = 100000L, // below this, exact anti-join alone is cheaper
+    bloomExpectedItems: Long = 10000000L, // sizing; shard the bloom beyond ~10^9
+    bloomMinRows: Long = 2000000L, // activate prefilter once seen ≥ this
     maxSupersteps: Int = 100000
 )
 
 object FrontierEngine {
+
+  /** Bloom key separator (a raw concat could collide across columns). */
+  val KeySep = ""
 
   /** Task-side fetch stage: per-host politeness pacing + robots check.
     * A standalone function (not an engine method) so the Spark closure
@@ -101,16 +110,54 @@ object FrontierEngine {
 
 final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConfig) {
   import spark.implicits._
+  import FrontierEngine.KeySep
 
   val frontier = new IceLite(spark, s"${cfg.workDir}/frontier")
   val seen = new IceLite(spark, s"${cfg.workDir}/seen")
   val queue = new IceLite(spark, s"${cfg.workDir}/queue")
-  val crawled = new IceLite(spark, s"${cfg.workDir}/crawled")
   val metrics = new IceLite(spark, s"${cfg.workDir}/metrics")
 
   private val nPart =
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
     else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  // persistent prefilters (supersets of seen urls / leaf row tuples);
+  // None until the first non-empty build (all blooms come from
+  // stat.bloomFilter with identical sizing → merge-compatible)
+  private var seenBloom: Option[BloomFilter] = None
+  private var leafBloom: Option[BloomFilter] = None
+  private var bloomsReady = false
+
+  /** None for an empty input (stat.bloomFilter NPEs on zero rows, and
+    * an empty delta has nothing to merge anyway). */
+  private def buildBloom(df: DataFrame, keys: Seq[String]): Option[BloomFilter] = {
+    val keyed = df.select(concat_ws(KeySep, keys.map(col): _*).as("k"))
+    if (keyed.isEmpty) None
+    else Some(keyed.stat.bloomFilter("k", cfg.bloomExpectedItems, 0.01))
+  }
+
+  private def mergeBloom(cur: Option[BloomFilter], delta: Option[BloomFilter]): Option[BloomFilter] =
+    (cur, delta) match {
+      case (Some(a), Some(d)) => a.mergeInPlace(d); Some(a)
+      case (None, d)          => d
+      case (a, None)          => a
+    }
+
+  // driver-side approximate seen size: gates bloom activation (the
+  // prefilter only pays for itself once the exact anti-join's right
+  // side is large; below the threshold it is pure overhead)
+  private var seenApprox: Long = -1L
+
+  private def bloomActive: Boolean =
+    cfg.useBloom && seenApprox >= cfg.bloomMinRows
+
+  private def initBlooms(): Unit = if (bloomActive && !bloomsReady) {
+    seenBloom = buildBloom(seen.read(), Seq("url"))
+    leafBloom = buildBloom(
+      frontier.read().filter(col("isleaf") === 1),
+      Seq("url", "title", "pre_url", "isleaf"))
+    bloomsReady = true
+  }
 
   /** Initialize state from seeds unless resuming (queue table present). */
   def init(): Unit = {
@@ -119,14 +166,13 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     val seedRows = seeds.zipWithIndex.map { case ((url, title, pre, isleaf), i) =>
       (url, title, pre, isleaf, -1L, i.toLong)
     }.toDF("url", "title", "pre_url", "isleaf", "parent_seq", "emit_idx")
-    frontier.append(seedRows, "superstep=0 seeds")
-    seen.append(seeds.map(_._1).toDF("url"), "superstep=0 seeds")
+    frontier.append(seedRows, "seeds", coalesceTo = 1)
+    seen.append(seeds.map(_._1).toDF("url"), "seeds", coalesceTo = 1)
     val q = seeds.zipWithIndex.collect {
       case ((url, _, _, 0), i) => (url, i.toLong)
     }.toDF("url", "seq")
-    queue.overwrite(q, "superstep=0 nextSeq=" + seeds.count(_._4 == 0))
+    queue.overwrite(q, "superstep=0 nextSeq=" + seeds.count(_._4 == 0), coalesceTo = 1)
   }
-
 
   /** Version of `t` excluding an append already made for tag `tag`
     * (crash-resume: a re-executed superstep must read pre-superstep
@@ -141,12 +187,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   /** Append exactly once per (table, tag): re-executed supersteps skip
     * appends that already committed (results are deterministic, so the
     * skipped recomputation is identical to what was committed). */
-  private def appendOnce(t: IceLite, tag: String, df: => DataFrame): Unit =
+  private def appendOnce(t: IceLite, tag: String, df: => DataFrame, coalesceTo: Int = 0): Unit =
     if (!(t.currentVersion > 0 && t.lineageAt(t.currentVersion) == tag))
-      t.append(df, tag)
+      t.append(df, tag, coalesceTo)
 
-  /** One superstep. Returns the size of the next queue. */
+  /** One superstep. Returns (next queue size, fetched count). */
   def superstep(k: Int, nextSeqStart: Long): (Long, Long) = {
+    if (seenApprox < 0) seenApprox = seen.read().count() // resume/startup
+    initBlooms()
     val q = queue.read().as[(String, Long)]
 
     // fetch stage: salted-host repartition so one hot host spreads over
@@ -163,6 +211,21 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .mapPartitions(fetchFn)
       .toDF("url", "seq", "html")
     fetched.persist()
+
+    // materialize the fetch exactly once, collecting per-partition
+    // metrics in the same pass (replaces MyLog counters,
+    // `zhwiki_all.py:332-333`)
+    val metricRows = fetched
+      .groupBy(spark_partition_id().as("partition"))
+      .agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("html").isNull, 1L).otherwise(0L)).as("errors"))
+      .collect()
+      .map(r => (k, r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nFetched = metricRows.map(_._3).sum
+    appendOnce(metrics, s"metrics k=$k",
+      metricRows.toSeq.toDF("superstep", "partition", "fetched", "errors"),
+      coalesceTo = 1)
 
     val links = fetched
       .filter(col("html").isNotNull)
@@ -183,7 +246,8 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .filter(col("isleaf") === 1)
       .select("url", "title", "pre_url", "isleaf")
     val pageRows = antiJoinWithBloom(
-      pageCand, prior, Seq("url", "title", "pre_url", "isleaf"))
+      pageCand, prior, Seq("url", "title", "pre_url", "isleaf"),
+      if (bloomActive) leafBloom else None)
     appendOnce(frontier, frontierTag, nonPage.unionByName(pageRows))
 
     // ---- enqueue (queue/viewed semantics) ----
@@ -195,14 +259,16 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .drop("rn")
     val seenTag = s"seen k=$k"
     val unseen = antiJoinWithBloom(
-      firstWins, seen.readAt(stableVersion(seen, seenTag)), Seq("url")).persist()
+      firstWins, seen.readAt(stableVersion(seen, seenTag)), Seq("url"),
+      if (bloomActive) seenBloom else None)
+      .persist()
 
     appendOnce(seen, seenTag, unseen.select("url"))
 
     val blocked = cfg.blockedUrls
     val toQueue = unseen
       .filter(!(col("section") === "subcat" && col("url").isInCollection(
-        if (blocked.isEmpty) Seq(" never ") else blocked.toSeq)))
+        if (blocked.isEmpty) Seq(" never ") else blocked.toSeq)))
       .select("url", "parent_seq", "emit_idx")
 
     // contiguous crawl-order seq: sorted zipWithIndex (no 1-partition window)
@@ -212,55 +278,48 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .zipWithIndex()
       .map { case (url, i) => (url, nextSeqStart + i) }
       .toDF("url", "seq")
+      .persist()
 
-    appendOnce(crawled, s"crawled k=$k", q.toDF("url", "seq"))
     val nq = nextQueue.count()
     // the queue overwrite is the superstep's commit point: once it
     // lands, re-execution of step k is impossible (k advances)
     queue.overwrite(nextQueue, s"superstep=${k + 1} nextSeq=${nextSeqStart + nq}")
 
-    // per-partition fetch metrics (replaces MyLog counters,
-    // `zhwiki_all.py:332-333`)
-    val m = fetched
-      .groupBy(spark_partition_id().as("partition"))
-      .agg(
-        count(lit(1)).as("fetched"),
-        sum(when(col("html").isNull, 1L).otherwise(0L)).as("errors"))
-      .withColumn("superstep", lit(k))
-    appendOnce(metrics, s"metrics k=$k", m)
+    // merge candidate deltas into the persistent blooms (supersets of
+    // the committed deltas — over-approximation is safe)
+    if (bloomActive && bloomsReady) {
+      seenBloom = mergeBloom(seenBloom, buildBloom(cand.select("url"), Seq("url")))
+      leafBloom = mergeBloom(leafBloom,
+        buildBloom(pageCand, Seq("url", "title", "pre_url", "isleaf")))
+    }
+    seenApprox += nq // lower bound on the seen delta (blocked adds excluded)
 
-    val nFetched = fetched.count()
     fetched.unpersist()
     links.unpersist()
     unseen.unpersist()
+    nextQueue.unpersist()
     (nq, nFetched)
   }
 
   private val udfHost = udf((u: String) => hostOf(u))
 
-  /** Exact left anti join, with a broadcast Bloom prefilter once the
-    * right side is large: rows whose key the bloom definitely hasn't
-    * seen skip the shuffle; "might contain" rows go through the exact
-    * anti-join (false positives must not drop rows). */
+  /** Exact left anti join behind an optional broadcast Bloom prefilter:
+    * rows whose key the bloom has definitely never seen skip the join
+    * shuffle; "might contain" rows go through the exact anti-join
+    * (false positives must not drop rows). */
   private def antiJoinWithBloom(
       left: DataFrame,
       right: DataFrame,
-      keys: Seq[String]
-  ): DataFrame = {
-    val rightN = if (cfg.useBloom) right.count() else 0L
-    if (!cfg.useBloom || rightN < cfg.bloomMinRows) {
-      left.join(right, keys, "left_anti")
-    } else {
-      val keyCol = concat_ws("", keys.map(col): _*)
-      val bloom = right
-        .select(concat_ws("", keys.map(col): _*).as("k"))
-        .stat.bloomFilter("k", rightN, 0.01)
-      val bloomBc = spark.sparkContext.broadcast(bloom)
+      keys: Seq[String],
+      bloom: Option[BloomFilter]
+  ): DataFrame = bloom match {
+    case None => left.join(right, keys, "left_anti")
+    case Some(b) =>
+      val bloomBc = spark.sparkContext.broadcast(b)
       val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
-      val (maybe, definitelyNew) =
-        (left.filter(mightContain(keyCol)), left.filter(!mightContain(keyCol)))
-      definitelyNew.unionByName(maybe.join(right, keys, "left_anti"))
-    }
+      val keyCol = concat_ws(KeySep, keys.map(col): _*)
+      left.filter(!mightContain(keyCol))
+        .unionByName(left.filter(mightContain(keyCol)).join(right, keys, "left_anti"))
   }
 
   /** Run to completion (or maxSupersteps). Returns supersteps executed. */
@@ -294,8 +353,19 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   def frontierOrdered(): DataFrame =
     frontier.read().orderBy("parent_seq", "emit_idx")
 
-  /** Crawl order: every fetched URL by seq (queue pop order). */
-  def crawlOrder(): DataFrame = crawled.read().orderBy("seq")
+  /** Crawl order: every fetched URL by seq — reconstructed from the
+    * queue table's snapshot history (each version is one superstep's
+    * queue; seqs are globally unique so re-executed supersteps dedup). */
+  def crawlOrder(): DataFrame = {
+    val v = queue.currentVersion
+    val parts = (1 to v).flatMap { i =>
+      if (queue.filesAt(i).nonEmpty) Some(queue.readAt(i)) else None
+    }
+    parts.reduce(_ unionByName _).dropDuplicates("seq").orderBy("seq")
+  }
 
   def seenSet(): DataFrame = seen.read()
+
+  /** Total fetch attempts so far (crawl-order rows). */
+  def crawledCount(): Long = crawlOrder().count()
 }

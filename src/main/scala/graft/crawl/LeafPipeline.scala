@@ -89,9 +89,11 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
       .as[(String, String)]
       .mapPartitions(parseFn)
 
-    val df = parsed.toDF()
+    // persist: count + append must not re-run the fetch+parse stage
+    val df = parsed.toDF().persist()
     val n = df.count()
     if (n > 0) docs.append(df, s"leafs n=$n")
+    df.unpersist()
     n
   }
 

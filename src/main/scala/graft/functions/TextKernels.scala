@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Single-pass text kernels used by the dedup/fingerprint pipelines.
+  *
+  * These exist because the declarative formulation — `transform(
+  * sequence(1, size(w)-2), i -> array_join(slice(w, i, 3), ' '))` with
+  * `w = filter(split(text), ...)` — is QUADRATIC under Catalyst:
+  * CollapseProject inlines `w` into the lambda (no common-subexpression
+  * elimination inside lambdas), so the split+filter re-runs once per
+  * shingle position. A typed flatMap/map with these kernels is one pass
+  * per document and produces byte-identical results (verified against
+  * the DuckDB oracle, which still uses the declarative definition).
+  */
+object TextKernels {
+
+  /** Whitespace tokens, empties dropped — same as split(' ')+filter. */
+  def words(text: String): Array[String] =
+    text.split(" ", -1).filter(_.nonEmpty)
+
+  /** Distinct 3-word shingles in first-occurrence order (matches
+    * array_distinct over the positional shingle array). */
+  def shingles3(text: String): Array[String] = {
+    val w = words(text)
+    if (w.length < 3) return Array.empty
+    val seen = collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + 2 < w.length) {
+      seen += s"${w(i)} ${w(i + 1)} ${w(i + 2)}"
+      i += 1
+    }
+    seen.toArray
+  }
+
+  def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** 31-bit shingle hash: first 15 hex digits of md5, masked — equal to
+    * `conv(substring(md5(s),1,15),16,10) & 0x7fffffff`. */
+  def shingleHash31(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) & 0x7fffffffL
+
+  /** Winnowing fingerprint: positional (non-distinct) 3-word shingle
+    * md5s → window-of-4 minima → sorted distinct minima → one md5 over
+    * their concatenation. Returns (fingerprint, n_grams). Matches
+    * TextAnalysis.fingerprint's declarative definition. */
+  def winnow(text: String): (String, Int) = {
+    val w = words(text)
+    val hashes =
+      if (w.length < 3) Array.empty[String]
+      else Array.tabulate(w.length - 2)(i => md5Hex(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+    val winMins =
+      if (hashes.length < 4) hashes
+      else Array.tabulate(hashes.length - 3) { p =>
+        var m = hashes(p)
+        var j = p + 1
+        while (j <= p + 3) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        m
+      }
+    val fps = winMins.distinct.sorted
+    (md5Hex(fps.mkString("")), fps.length)
+  }
+}

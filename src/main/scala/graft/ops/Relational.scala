@@ -143,6 +143,39 @@ object Relational {
         round(sum("value"), 4).as("sum_value")
       )
 
+  /** J4: iterative category-closure expansion (the commented
+    * transitive-closure variant, `zhwiki_leafs.py:1619-1633`): starting
+    * from seed category urls, repeatedly join the edge table on
+    * pre_url to collect the reachable subtree. Each level is one
+    * broadcast-able join (frontier side is small); the level result is
+    * localCheckpoint'd so the iterative plan doesn't grow unboundedly.
+    */
+  def categoryClosure(frontier: DataFrame, seedUrls: Seq[String]): DataFrame = {
+    val edges = frontier.select("url", "title", "pre_url", "isleaf")
+    var result = edges.filter(col("url").isin(seedUrls: _*))
+    var level = edges
+      .filter(col("url").isin(seedUrls: _*) && col("isleaf") === 0)
+      .select(col("url")).distinct()
+    var visited = level
+    var n = level.count()
+    while (n > 0) {
+      val children = edges
+        .join(broadcast(level.withColumnRenamed("url", "parent")),
+          col("pre_url") === col("parent"))
+        .drop("parent")
+      result = result.unionByName(children).localCheckpoint()
+      val nextLevel = children
+        .filter(col("isleaf") === 0)
+        .select("url").distinct()
+        .join(visited, Seq("url"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(nextLevel).localCheckpoint()
+      level = nextLevel
+      n = nextLevel.count()
+    }
+    result.dropDuplicates()
+  }
+
   /** Sessionization: split each user's event sequence at >30 min gaps,
     * one output row per session. Windowed lag + running sum of boundary
     * flags — the standard shuffle-once formulation (one hash partition by

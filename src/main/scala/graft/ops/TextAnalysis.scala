@@ -85,23 +85,19 @@ object TextAnalysis {
 
   /** Winnowing fingerprint: positional 3-word shingles → md5 per
     * shingle → window-of-4 minima → sorted distinct minima → one md5
-    * over their concatenation. Fully scalar (arrays, no shuffle). */
+    * over their concatenation. Typed map (single pass per doc): the
+    * declarative slice-lambda form re-inlines the tokenization per
+    * position — quadratic (see TextKernels). */
   def fingerprint(documents: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    // positional (NOT distinct) shingle hashes
-    val hashes = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => md5(array_join(slice(w, i, lit(3)), " "))))
-      .otherwise(array().cast("array<string>"))
-    val winMins = when(size(hashes) >= 4,
-      transform(sequence(lit(1), size(hashes) - 3),
-        p => array_min(slice(hashes, p, lit(4)))))
-      .otherwise(hashes)
-    val fps = array_sort(array_distinct(winMins))
-    documents.select(
-      col("doc_id"),
-      md5(array_join(fps, "")).as("fingerprint"),
-      size(fps).as("n_grams")
-    )
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (fp, n) = graft.functions.TextKernels.winnow(t)
+        (id, fp, n)
+      }
+      .toDF("doc_id", "fingerprint", "n_grams")
   }
 }

@@ -48,39 +48,78 @@ object TextDedup {
         (col("doc_id") === col("keep_id")).as("keep"))
   }
 
-  /** MinHash signature row per (doc, k): sig_k = min over shingles of
-    * md5(k || '|' || shingle), k in [0, nSig). Emitted as rows (not an
+  /** MinHash prime modulus + universal-hash coefficients: each shingle
+    * is md5'd ONCE (the expensive part), reduced to a 31-bit value, and
+    * the k-th permutation is the cheap universal hash
+    * (a_k·v + b_k) mod P — the standard one-hash MinHash family. All
+    * arithmetic stays below 2^62 so Spark and DuckDB agree exactly. */
+  val MinhashP = 2147483647L
+  // large P-scale multipliers: small a_k (e.g. (k+1)*1000003) barely
+  // wrap mod P, so the globally smallest shingle hash wins EVERY k and
+  // the signatures correlate (band false-positive storm). a_k·v stays
+  // < P² ≈ 4.6e18 < Long.Max.
+  def minhashA(k: Int): Long = ((k + 1L) * 2654435761L) % MinhashP
+  def minhashB(k: Int): Long = (k * 1013904223L + 12345L) % MinhashP
+
+  /** Wide per-doc signatures: explode distinct shingles → one md5 per
+    * shingle → 16 min-aggregates in a single groupBy pass (map-side
+    * partial agg; the shuffle key is doc_id). One column per k.
+    *
+    * NOT expressed with nested higher-order functions: Catalyst's
+    * CollapseProject inlines the shingle-hash array into every lambda
+    * (no CSE inside lambdas), re-running the md5 pass once per k —
+    * 16× the work. The explode+agg shape evaluates md5 exactly once
+    * per (doc, shingle). */
+  private def minhashWide(documents: DataFrame, nSig: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // typed flatMap shingling: the declarative slice-lambda form is
+    // quadratic per doc (see TextKernels); one md5 per (doc, shingle)
+    val exploded = documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels.shingles3(t)
+          .map(s => (id, graft.functions.TextKernels.shingleHash31(s)))
+      }
+      .toDF("doc_id", "v")
+    val aggs = (0 until nSig).map { k =>
+      min((col("v") * minhashA(k) + minhashB(k)) % MinhashP).as(s"sig$k")
+    }
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signature row per (doc, k). Emitted as rows (not an
     * array) so the schema is flat for the oracle compare. */
   def minhashSignatures(documents: DataFrame, nSig: Int = 16): DataFrame =
-    documents
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(nSig - 1))).as("k"),
-        col("sh"))
-      .select(col("doc_id"), col("k"),
-        array_min(transform(col("sh"),
-          s => md5(concat(col("k").cast("string"), lit("|"), s)))).as("minhash"))
+    minhashWide(documents, nSig)
+      .select(col("doc_id"),
+        posexplode(array((0 until nSig).map(k => col(s"sig$k")): _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("k"), col("col").as("minhash"))
 
   /** LSH banding over the minhash signatures: nSig sigs / rowsPerBand →
     * band hash per (doc, band); candidate pairs = docs sharing a band.
     * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
-    * The pair join shuffles on (band, band_hash) only — no n² scan. */
+    *
+    * The signature vector is computed SCAN-SIDE as one array column
+    * (no explode → groupBy → collect_list round trip: the grouped
+    * re-assembly both shuffled the signature rows and was recomputed on
+    * each side of the self-join), then sliced into band hashes; the
+    * only shuffle left is the candidate join on (band, band_hash). */
   def minhashCandidatePairs(
       documents: DataFrame,
       nSig: Int = 16,
       rowsPerBand: Int = 4
   ): DataFrame = {
-    val sigs = minhashSignatures(documents, nSig)
-      .withColumn("band", (col("k") / rowsPerBand).cast("int"))
-    val bands = sigs
-      .groupBy("doc_id", "band")
-      // minhash values are md5 strings; concat in k order via sorted
-      // collect (k asc == lexicographic on zero-padded k not needed:
-      // group rows are exactly rowsPerBand, order pinned by sort_array
-      // over (k, value) structs)
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("k"), col("minhash")))),
-        s => s.getField("minhash")), "|")).as("band_hash"))
+    val nBands = nSig / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}").cast("string")): _*))
+    }
+    val bands = minhashWide(documents, nSig)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -95,8 +134,15 @@ object TextDedup {
     * intersections, filter on |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
     * Complete (no LSH false negatives); the shuffle key is the shingle. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val sh = documents
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels.shingles3(t).map(s => (id, s))
+      }
+      .toDF("doc_id", "s")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

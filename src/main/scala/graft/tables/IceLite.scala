@@ -47,11 +47,13 @@ final class IceLite(spark: SparkSession, dir: String) {
     }
 
   /** Atomic append: new snapshot = previous files + df's files.
-    * Returns the new version. */
-  def append(df: DataFrame, lineage: String): Int = {
+    * `coalesceTo` > 0 compacts small deltas (avoids tiny-file explosion
+    * for per-superstep metadata writes). Returns the new version. */
+  def append(df: DataFrame, lineage: String, coalesceTo: Int = 0): Int = {
     val v = currentVersion
     val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
-    df.write.parquet(deltaDir.toString)
+    val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    out.write.parquet(deltaDir.toString)
     val newFiles = Files.list(deltaDir).iterator.asScala
       .map(_.toString)
       .filter(f => f.endsWith(".parquet"))
@@ -60,11 +62,13 @@ final class IceLite(spark: SparkSession, dir: String) {
     commit(v, filesAt(v) ++ newFiles, lineage)
   }
 
-  /** Replace the table content (used for per-superstep queue tables). */
-  def overwrite(df: DataFrame, lineage: String): Int = {
+  /** Replace the table content (used for per-superstep queue tables).
+    * Prior versions' files stay on disk — versioned reads remain valid. */
+  def overwrite(df: DataFrame, lineage: String, coalesceTo: Int = 0): Int = {
     val v = currentVersion
     val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
-    df.write.parquet(deltaDir.toString)
+    val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    out.write.parquet(deltaDir.toString)
     val newFiles = Files.list(deltaDir).iterator.asScala
       .map(_.toString)
       .filter(_.endsWith(".parquet"))

@@ -60,7 +60,7 @@ class CrawlEquivalenceSpec extends SparkSpec {
 
   test("engine ≡ oracle with bloom prefilter enabled") {
     engineVsSim(WebSpec(nCats = 40, nArticles = 60),
-      c => c.copy(useBloom = true, bloomMinRows = 1))
+      c => c.copy(useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1))
   }
 
   test("parallelism invariance: same result at 2 fetch partitions") {
