@@ -74,9 +74,7 @@ object Bench {
       .map(i => (s"https://host${i % 32}.graft.example/wiki/Category:K$i", i))
       .toDF("url", "seq")
     val salted = urls
-      .repartition(nPart, pmod(
-        xxhash64(udf((u: String) => hostOf(u)).apply(col("url")),
-          pmod(xxhash64(col("url")), lit(4))), lit(nPart)))
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), 4, nPart))
       .as[(String, Long)]
     val fetchFn = FrontierEngine.politeFetch(store, RobotsPolicy.allowAll, 0.0, 4) _
     def pass(ds: org.apache.spark.sql.Dataset[(String, Long)]): Long = ds
@@ -99,6 +97,48 @@ object Bench {
       "stage_sec" -> sec,
       "stage_urls_per_sec" -> nUrls / sec,
       "stage_links_per_sec" -> nLinks / sec
+    )
+  }
+
+  /** Politeness-bound fetch throughput — the BASELINE.json headline
+    * condition ("under fixed politeness budget"). `nHosts` hosts each
+    * capped at `rps` req/s: the ceiling is nHosts×rps and the engine's
+    * job is to overlap the per-host pacing gaps across partitions.
+    * Reports achieved rate and efficiency vs the ceiling. */
+  def politeBench(spark: SparkSession, nUrls: Int, nHosts: Int, rps: Double): Map[String, Double] = {
+    import spark.implicits._
+    val spec = WebSpec(nCats = nUrls, nArticles = 1000, nHosts = nHosts,
+      branching = 4, articlesPerCat = 4, withBlocked = false)
+    val store = new PageStore(spec)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val salt = 4
+    val urls = spark.range(nUrls)
+      .as[Long]
+      .map(i => (s"https://host${i % nHosts}.graft.example/wiki/Category:K$i", i))
+      .toDF("url", "seq")
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), salt, nPart))
+      .as[(String, Long)]
+    val fetchFn = FrontierEngine.politeFetch(store, RobotsPolicy.allowAll, rps, salt) _
+    val t0 = System.nanoTime()
+    urls.mapPartitions(fetchFn).filter(_._3.isDefined).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val ceiling = nHosts * rps
+    // the ACHIEVABLE floor is the largest pacing slice's quota (slice
+    // populations are hash-Poisson, so the max slice, not the mean,
+    // binds): floor_sec = (maxSliceCount - 1) × saltFactor / rps
+    val maxSlice = urls
+      .map { case (u, _) => (hostOf(u), FrontierEngine.sliceOf(u, salt)) }
+      .groupByKey(identity).count().as[((String, Int), Long)]
+      .map(_._2).reduce((a, b) => math.max(a, b))
+    val floorSec = (maxSlice - 1) * salt / rps
+    Map(
+      "polite_urls" -> nUrls.toDouble,
+      "polite_sec" -> sec,
+      "polite_urls_per_sec" -> nUrls / sec,
+      "polite_ceiling_urls_per_sec" -> ceiling,
+      "polite_efficiency_vs_ceiling" -> (nUrls / sec) / ceiling,
+      "polite_floor_sec" -> floorSec,
+      "polite_efficiency_vs_floor" -> floorSec / sec
     )
   }
 
@@ -132,6 +172,9 @@ object Bench {
     // JVM before the long BFS loads the heap
     val crawl = stageBench(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "100000").toInt) ++
+      politeBench(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_URLS", "40000").toInt,
+        nHosts = 256, rps = 20.0) ++
       crawlBench(spark, crawlCats, nHosts = 32)
 
     val qs = warm.toSeq.sortBy(_._1)

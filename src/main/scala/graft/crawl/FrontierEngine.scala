@@ -63,34 +63,81 @@ object FrontierEngine {
   /** Bloom key separator (a raw concat could collide across columns). */
   val KeySep = ""
 
-  /** Task-side fetch stage: per-host politeness pacing + robots check.
-    * A standalone function (not an engine method) so the Spark closure
-    * captures only serializable values. Pacing: each salt slice of a
-    * host enforces gap = saltFactor / maxRps, so the host's aggregate
-    * rate across slices stays ≤ maxRps. */
+  /** Pacing-slice id for a URL: crc32(url) mod saltFactor. crc32 is
+    * computable identically in Catalyst (`crc32` function, used in the
+    * repartition key) and task-side (java.util.zip.CRC32), so the
+    * partitioner and the pacer agree on slice identity — required for
+    * the budget guarantee (≤ saltFactor slices per host globally, each
+    * paced at budget/saltFactor). */
+  def sliceOf(url: String, saltFactor: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % saltFactor).toInt
+  }
+
+  /** Task-side fetch stage: per-(host, slice) politeness pacing via an
+    * earliest-deadline scheduler + robots check. A standalone function
+    * (not an engine method) so the Spark closure captures only
+    * serializable values.
+    *
+    * A naive "sleep before each over-rate request" stalls the WHOLE
+    * partition on one host's gap (measured 0.24× of the politeness
+    * ceiling); instead the partition's entries are grouped per slice
+    * and drained round-robin by next-allowed-time — the task sleeps
+    * only when EVERY slice is ahead of schedule, so wall time ≈
+    * max(cpu, slowest slice's quota). Materializes the partition's
+    * (url, seq) pairs — bounded by the queue partition size; at
+    * 10^10-frontier scale cap fetch-partition row counts (superstep
+    * sub-batching) rather than relaxing pacing. */
   def politeFetch(
       store: PageStore,
       robots: RobotsPolicy,
       maxRpsPerHost: Double,
       saltFactor: Int
   )(entries: Iterator[(String, Long)]): Iterator[(String, Long, Option[String])] = {
-    val lastHit = mutable.HashMap.empty[String, Long]
-    val minGapNs =
-      if (maxRpsPerHost <= 0) 0L
-      else (1e9 * saltFactor / maxRpsPerHost).toLong
-    entries.map { case (url, seq) =>
-      val host = hostOf(url)
-      if (minGapNs > 0) {
-        val now = System.nanoTime()
-        val prev = lastHit.getOrElse(host, 0L)
-        val wait = prev + minGapNs - now
-        if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
-        lastHit(host) = math.max(now, prev + minGapNs)
-      }
+    def fetchOne(url: String, seq: Long): (String, Long, Option[String]) = {
       val html = if (!robots.allowed(url)) None else store.fetch(url)
       (url, seq, html)
     }
+    if (maxRpsPerHost <= 0) entries.map { case (u, s) => fetchOne(u, s) }
+    else {
+      val gapNs = (1e9 * saltFactor / maxRpsPerHost).toLong
+      val bySlice = mutable.LinkedHashMap.empty[(String, Int), mutable.ArrayDeque[(String, Long)]]
+      entries.foreach { case (url, seq) =>
+        val key = (hostOf(url), sliceOf(url, saltFactor))
+        bySlice.getOrElseUpdate(key, mutable.ArrayDeque.empty) += ((url, seq))
+      }
+      // min-heap by next-allowed fire time
+      implicit val ord: Ordering[(Long, (String, Int))] = Ordering.by(-_._1)
+      val pq = mutable.PriorityQueue.empty[(Long, (String, Int))]
+      val start = System.nanoTime()
+      bySlice.keys.foreach(k => pq.enqueue((start, k)))
+      new Iterator[(String, Long, Option[String])] {
+        override def hasNext: Boolean = pq.nonEmpty
+        override def next(): (String, Long, Option[String]) = {
+          val (t, key) = pq.dequeue()
+          val wait = t - System.nanoTime()
+          if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+          val q = bySlice(key)
+          val (url, seq) = q.removeHead()
+          if (q.nonEmpty)
+            pq.enqueue((math.max(t, System.nanoTime()) + gapNs, key))
+          fetchOne(url, seq)
+        }
+      }
+    }
   }
+
+  /** Repartition key for fetch stages: hash(host, pacing slice) — one
+    * hot host spreads over exactly saltFactor partitions-worth of
+    * slices; the slice id matches task-side `sliceOf` (crc32). Uses the
+    * codegen'd host_of expression (registered by UrlExpressions). */
+  def saltedPartitionKey(url: org.apache.spark.sql.Column, saltFactor: Int, nPart: Int): org.apache.spark.sql.Column =
+    pmod(
+      xxhash64(
+        graft.expressions.UrlExpressions.host_of(url),
+        pmod(crc32(url.cast("binary")), lit(saltFactor))),
+      lit(nPart))
 
   def sectionTag(s: CategoryExtractor.Section): String = s match {
     case CategoryExtractor.Subcat     => "subcat"
@@ -111,6 +158,8 @@ object FrontierEngine {
 final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConfig) {
   import spark.implicits._
   import FrontierEngine.KeySep
+
+  graft.expressions.UrlExpressions.register(spark) // host_of in the partition key
 
   val frontier = new IceLite(spark, s"${cfg.workDir}/frontier")
   val seen = new IceLite(spark, s"${cfg.workDir}/seen")
@@ -200,9 +249,8 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // fetch stage: salted-host repartition so one hot host spreads over
     // saltFactor partitions, each pacing at budget/saltFactor
     val salted = q
-      .repartition(nPart, pmod(
-        xxhash64(udfHost(col("url")), pmod(xxhash64(col("url")), lit(cfg.saltFactor))),
-        lit(nPart)))
+      .repartition(nPart,
+        FrontierEngine.saltedPartitionKey(col("url"), cfg.saltFactor, nPart))
       .as[(String, Long)]
     // bind to locals so the task closure captures values, not `this`
     val (st, rb, rps, sf) = (store, cfg.robots, cfg.maxRpsPerHost, cfg.saltFactor)
@@ -300,8 +348,6 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     nextQueue.unpersist()
     (nq, nFetched)
   }
-
-  private val udfHost = udf((u: String) => hostOf(u))
 
   /** Exact left anti join behind an optional broadcast Bloom prefilter:
     * rows whose key the bloom has definitely never seen skip the join

@@ -83,9 +83,7 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     val parsed = pending
       .select("url", "title")
       .as[(String, String)]
-      .repartition(nPart, pmod(
-        xxhash64(udf((u: String) => hostOf(u)).apply(col("url")),
-          pmod(xxhash64(col("url")), lit(sf))), lit(nPart)))
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), sf, nPart))
       .as[(String, String)]
       .mapPartitions(parseFn)
 

@@ -101,11 +101,23 @@ object HtmlScanner {
         .replace("&#39;", "'")
         .replace("&amp;", "&")
 
-  def escape(s: String): String =
-    s.replace("&", "&amp;")
-      .replace("<", "&lt;")
-      .replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  def escape(s: String): String = {
+    // fast path: generator/page text is overwhelmingly clean; the
+    // four-replace chain would allocate up to 4 copies per call
+    var i = 0
+    var dirty = false
+    while (i < s.length && !dirty) {
+      val c = s.charAt(i)
+      dirty = c == '&' || c == '<' || c == '>' || c == '"'
+      i += 1
+    }
+    if (!dirty) s
+    else
+      s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("\"", "&quot;")
+  }
 
   /** Parse a document; returns a synthetic root element wrapping all
     * top-level nodes. */
