@@ -162,11 +162,17 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val coldTotal = (System.nanoTime() - cold0) / 1e9
-    val warm = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // best-of-2 warm passes per query (same treatment as stageBench):
+    // this box is a shared VM with spiky steal time, so a single warm
+    // pass swings 2-4x and round-over-round deltas mean nothing
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val (w1, w2) = (timedPass(), timedPass())
+    val warm = w1.map { case (name, v) => name -> math.min(v, w2(name)) }
 
     // stage bench first: the scaling-efficiency metric runs on a quiet
     // JVM before the long BFS loads the heap

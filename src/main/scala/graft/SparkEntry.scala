@@ -161,8 +161,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          ), sess AS (
            SELECT user_id, ts,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS sess_start, max(ts) AS sess_end

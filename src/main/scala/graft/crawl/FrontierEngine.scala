@@ -401,13 +401,15 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
 
   /** Crawl order: every fetched URL by seq — reconstructed from the
     * queue table's snapshot history (each version is one superstep's
-    * queue; seqs are globally unique so re-executed supersteps dedup). */
+    * queue; seqs are globally unique so re-executed supersteps dedup).
+    * One multi-path parquet read over all versions' files — an
+    * O(supersteps) unionByName chain would explode the driver plan at
+    * thousands of supersteps. */
   def crawlOrder(): DataFrame = {
     val v = queue.currentVersion
-    val parts = (1 to v).flatMap { i =>
-      if (queue.filesAt(i).nonEmpty) Some(queue.readAt(i)) else None
-    }
-    parts.reduce(_ unionByName _).dropDuplicates("seq").orderBy("seq")
+    val allFiles = (1 to v).flatMap(queue.filesAt).distinct
+    require(allFiles.nonEmpty, "crawlOrder: no committed queue snapshots")
+    spark.read.parquet(allFiles: _*).dropDuplicates("seq").orderBy("seq")
   }
 
   def seenSet(): DataFrame = seen.read()

@@ -159,8 +159,11 @@ object Relational {
     var visited = level
     var n = level.count()
     while (n > 0) {
+      // no broadcast hint: a large category subtree level would OOM the
+      // driver at the 10^10 design point — AQE picks broadcast at
+      // runtime when the materialized level is actually small
       val children = edges
-        .join(broadcast(level.withColumnRenamed("url", "parent")),
+        .join(level.withColumnRenamed("url", "parent"),
           col("pre_url") === col("parent"))
         .drop("parent")
       result = result.unionByName(children).localCheckpoint()

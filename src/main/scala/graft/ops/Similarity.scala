@@ -46,10 +46,40 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Two-phase per-query top-k over scored (query, candidate) rows.
+    *
+    * A single window partitioned by query id collapses parallelism to
+    * nQueries (with a handful of queries ALL candidate pairs funnel into
+    * that many partitions at 100× scale). Phase 1 ranks per (query,
+    * scan partition) — parallelism stays at the candidate partition
+    * count and each partition forwards at most k rows per query; phase 2
+    * ranks the ≤ nPartitions×k survivors per query (tiny shuffle).
+    * Per-partition top-k ⊇ global top-k, so the result is identical:
+    * every global top-k row also ranks ≤ k within its own partition
+    * (the ordering is total — rounded cos desc, vec_id tie-break). */
+  private def topKPerQuery(joined: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(col("cos").desc, col("c.vec_id").asc)
+    val local = joined
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrnk", row_number().over(
+        Window.partitionBy(col("q.vec_id"), col("part")).orderBy(ord: _*)))
+      .filter(col("lrnk") <= k)
+    local
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q.vec_id")).orderBy(ord: _*)))
+      .filter(col("rnk") <= k)
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("vec_id"),
+        col("cos"),
+        col("rnk"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), scan all candidates once and keep the k best per query
-    * via a window. The scan side never shuffles the full table — only
-    * the (nQueries × candidates) joined rows, pruned by the window.
+    * via the two-phase window. The scan side never shuffles the full
+    * table — phase 1 ranks in place, only ≤ k rows per (query,
+    * partition) reach the global shuffle.
     * Norms are computed once per side before the join (not per pair).
     * Ranking is on the ROUNDED cosine with vec_id tie-break so the
     * result is stable across engines and partitionings. */
@@ -61,17 +91,7 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6))
-    val w = Window
-      .partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id").asc)
-    joined
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("vec_id"),
-        col("cos"),
-        col("rnk"))
+    topKPerQuery(joined, k)
   }
 
   /** Deterministic pseudo-random hyperplane sign for (plane, dim):
@@ -113,16 +133,6 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6))
-    val w = Window
-      .partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id").asc)
-    joined
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(
-        col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("vec_id"),
-        col("cos"),
-        col("rnk"))
+    topKPerQuery(joined, k)
   }
 }

@@ -120,8 +120,15 @@ object TextDedup {
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    bands.as("a")
-      .join(bands.as("b"),
+    // merge-hint both sides: a broadcast self-join would plan the whole
+    // scan→shingle→md5→min-agg signature subtree TWICE (BroadcastExchange
+    // never matches a shuffle Exchange, so ReuseExchange can't fire); a
+    // sort-merge join puts an identical Exchange hashpartitioning(band,
+    // band_hash) under each side and the second becomes a ReusedExchange —
+    // the dominant cost (shingling+md5) runs exactly once, with no
+    // persist() lifetime to manage at 100 TB.
+    bands.as("a").hint("merge")
+      .join(bands.as("b").hint("merge"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -132,7 +139,16 @@ object TextDedup {
   /** Exact n-gram Jaccard similarity join via inverted shingle index:
     * explode distinct shingles, self-join on shingle, count
     * intersections, filter on |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
-    * Complete (no LSH false negatives); the shuffle key is the shingle. */
+    * Complete (no LSH false negatives); the shuffle key is the shingle.
+    *
+    * Single-pass shape: the flatMap emits each doc's shingle COUNT on
+    * every row, so no separate `sizes` groupBy (which shuffled on a
+    * different key and re-ran the shingling a third time); the
+    * merge-hinted self-join shares one Exchange (ReuseExchange — see
+    * minhashCandidatePairs), so the shingling runs exactly once.
+    * Length pruning in the join condition: J(a,b) ≤ min(na,nb)/max(na,nb),
+    * so any pair with min < t·max can never reach the threshold — pruned
+    * before the intersection groupBy, no result change. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -140,20 +156,20 @@ object TextDedup {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        graft.functions.TextKernels.shingles3(t).map(s => (id, s))
+        val ss = graft.functions.TextKernels.shingles3(t)
+        val n = ss.length
+        ss.map(s => (id, s, n))
       }
-      .toDF("doc_id", "s")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .toDF("doc_id", "s", "n")
+    sh.as("a").hint("merge")
+      .join(sh.as("b").hint("merge"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("c"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .withColumn("jaccard",
-        col("c").cast("double") /
-          (col("sa.n") + col("sb.n") - col("c")).cast("double"))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -54,10 +54,25 @@ object FrontierCsv {
     * the RAW line (with trailing newline semantics) as the title — we
     * keep the stripped title, which is what downstream uses. */
   def readTitles(spark: SparkSession, path: String, base: String): DataFrame = {
-    val enc = udf((t: String) => UrlFunctions.buildWikiUrl(base, t))
     spark.read.text(path)
       .select(trim(col("value")).as("title"))
       .filter(col("title") =!= "")
-      .select(enc(col("title")).as("url"), col("title"))
+      .select(concat(lit(base + "/wiki/"), pythonQuote(col("title"))).as("url"),
+        col("title"))
   }
+
+  /** Column twin of `UrlFunctions.quote` (Python `quote(safe='/')`) built
+    * on the codegen'd `url_encode` (x-www-form-urlencoded, i.e. Java
+    * URLEncoder) plus the same four fix-ups the scalar applies: '+'
+    * only ever encodes a space (a literal '+' became %2B first), '/'
+    * and '~' are python-safe, '*' is python-UNsafe. No UDF — the whole
+    * expression stays inside whole-stage codegen. */
+  def pythonQuote(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(
+      replace(
+        replace(
+          replace(url_encode(c), lit("+"), lit("%20")),
+          lit("%2F"), lit("/")),
+        lit("%7E"), lit("~")),
+      lit("*"), lit("%2A"))
 }

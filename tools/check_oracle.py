@@ -50,22 +50,15 @@ def main(sf_dir, out_dir):
             print(f"ROWS     {name}: spark={len(got)} duck={len(want)}")
             n_bad += 1
             continue
-        # normalize dtypes for value compare
+        # Mirror the driver's authoritative gate: exact canonical-string
+        # compare (no allclose, no dtype coercion) — an int64 "1" vs a
+        # float64 "1.0" MUST be flagged, because the driver's hash compare
+        # flags it (see ADVICE.md round 1 / q_sessionize HUGEINT case).
         mismatch = None
         for c in got.columns:
-            a, b = got[c], want[c]
-            try:
-                if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-                    import numpy as np
-                    if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                        mismatch = c
-                        break
-                else:
-                    if not (a.astype(str).values == b.astype(str).values).all():
-                        mismatch = c
-                        break
-            except Exception as e:
-                mismatch = f"{c} ({e})"
+            a, b = got[c].astype(str).values, want[c].astype(str).values
+            if not (a == b).all():
+                mismatch = c
                 break
         if mismatch:
             print(f"VALUES   {name}: column {mismatch} differs")
