@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions.{col, lit, pmod, udf, xxhash64}
   */
 object Bench {
 
+  /** (stealTicks, totalTicks, busyTicks) from /proc/stat — lets every
+    * measured pass RECORD how much the shared-VM host throttled it
+    * (this box shows 0-30% steal in multi-minute windows; an efficiency
+    * number without its steal context is meaningless here). */
+  def cpuTicks(): (Long, Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+              finally src.close()
+      val total = f.sum
+      val steal = if (f.length > 7) f(7) else 0L
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      (steal, total, total - idle - steal)
+    } catch { case _: Throwable => (0L, 1L, 0L) }
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  /** Run `body`, returning (result, seconds, stealPct, busyPct, gcSec). */
+  def timedWithSteal[A](body: => A): (A, Double, Double, Double, Double) = {
+    val (s0, t0, b0) = cpuTicks()
+    val g0 = gcMillis()
+    val n0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - n0) / 1e9
+    val g1 = gcMillis()
+    val (s1, t1, b1) = cpuTicks()
+    val dt = math.max(1L, t1 - t0).toDouble
+    (r, sec, 100.0 * (s1 - s0) / dt, 100.0 * (b1 - b0) / dt, (g1 - g0) / 1e3)
+  }
+
   def crawlBench(spark: SparkSession, nCats: Int, nHosts: Int): Map[String, Double] = {
     val spec = WebSpec(
       nCats = nCats, nArticles = nCats * 2, nHosts = nHosts,
@@ -62,19 +97,28 @@ object Bench {
     * fetched-URLs/sec IS this stage rate. Measured over one large
     * salted-repartition → mapPartitions(fetch) → extract → count pass
     * on `nUrls` category pages across 32 hosts, politeness off. */
-  def stageBench(spark: SparkSession, nUrls: Int): Map[String, Double] = {
+  def stageBench(spark: SparkSession, nUrls: Int, nHosts: Int = 256): Map[String, Double] = {
     import spark.implicits._
-    val spec = WebSpec(nCats = nUrls, nArticles = 1000, nHosts = 32,
+    // nHosts matters for SCALING: the fetch stage partitions by
+    // (host, slice), so the key space is nHosts × saltFactor. With only
+    // 32 hosts (128 keys over 32 partitions) Poisson key placement makes
+    // the max partition ~2× the mean and caps speedup at ~2.3× for 4×
+    // cores (measured r2). A realistic web has hosts >> partitions —
+    // 256 hosts × 4 slices = 1024 keys balances to ~1.1× max/mean.
+    val spec = WebSpec(nCats = nUrls, nArticles = 1000, nHosts = nHosts,
       branching = 4, articlesPerCat = 4, withBlocked = false)
     val store = new PageStore(spec)
+    // single task wave (nPart == cores): 4-wave packing was measured
+    // r2 and did NOT improve utilization (74.6% vs 76.5% busy at 32) —
+    // the balanced (host,slice) key already packs a single wave to ±3%
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val urls = spark.range(nUrls)
       .select(col("id"))
       .as[Long]
-      .map(i => (s"https://host${i % 32}.graft.example/wiki/Category:K$i", i))
+      .map(i => (s"https://host${i % nHosts}.graft.example/wiki/Category:K$i", i))
       .toDF("url", "seq")
     val salted = urls
-      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), 4, nPart))
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), 4))
       .as[(String, Long)]
     val fetchFn = FrontierEngine.politeFetch(store, RobotsPolicy.allowAll, 0.0, 4) _
     def pass(ds: org.apache.spark.sql.Dataset[(String, Long)]): Long = ds
@@ -83,20 +127,23 @@ object Bench {
       .flatMap(r => FrontierEngine.extractLinks((r._1, r._2, r._3.get)))
       .count()
     // JIT warm-up (hot loops are 20-40x slower until C2-compiled), then
-    // best-of-2 measured passes: this box is a shared VM with spiky
-    // steal time, so single-pass numbers swing 2-4x
+    // best-of-3 measured passes: this box is a shared VM with spiky
+    // steal time, so single-pass numbers swing 2-4x. Each pass records
+    // its own /proc/stat steal so the reported number carries its
+    // host-interference context.
     pass(salted.limit(100000).as[(String, Long)])
-    val runs = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      val n = pass(salted)
-      (n, (System.nanoTime() - t0) / 1e9)
+    val runs = (1 to 3).map { _ =>
+      timedWithSteal(pass(salted))
     }
-    val (nLinks, sec) = runs.minBy(_._2)
+    val (nLinks, sec, steal, busy, gcSec) = runs.minBy(_._2)
     Map(
       "stage_urls" -> nUrls.toDouble,
       "stage_sec" -> sec,
       "stage_urls_per_sec" -> nUrls / sec,
-      "stage_links_per_sec" -> nLinks / sec
+      "stage_links_per_sec" -> nLinks / sec,
+      "stage_steal_pct" -> steal,
+      "stage_busy_pct" -> busy,
+      "stage_gc_sec" -> gcSec
     )
   }
 
@@ -116,7 +163,7 @@ object Bench {
       .as[Long]
       .map(i => (s"https://host${i % nHosts}.graft.example/wiki/Category:K$i", i))
       .toDF("url", "seq")
-      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), salt, nPart))
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), salt))
       .as[(String, Long)]
     val fetchFn = FrontierEngine.politeFetch(store, RobotsPolicy.allowAll, rps, salt) _
     val t0 = System.nanoTime()

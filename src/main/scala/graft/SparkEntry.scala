@@ -30,6 +30,9 @@ object SparkEntry {
     "q_agg" -> ((s, d) => Relational.groupedAgg(lineitem(s, d))),
     "q_filter_project" -> ((s, d) => Relational.filterProject(lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinctByKey(lineitem(s, d))),
+    // no oracleSql entry (HLL sketches differ across engines) → the
+    // driver records its weaker rows-only check; a spec pins accuracy
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctByKey(lineitem(s, d))),
     "q_group_first" -> ((s, d) => Relational.groupFirst(orders(s, d))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(customer(s, d), orders(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(part(s, d), lineitem(s, d))),

@@ -1,0 +1,53 @@
+package graft
+
+/** One-leg stage-bench probe: `runMain graft.StageProbe <cpus> [nUrls]`.
+  * Used to separate scheduler/skew effects from shared-VM noise when a
+  * ScalingBench leg looks implausible. */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.map(_.toInt).getOrElse(32)
+    val nUrls = args.lift(1).map(_.toInt).getOrElse(2000000)
+    val spark = Sessions.local(cpus, s"probe-$cpus")
+    if (args.length > 2 && args(2) == "diag") diag(spark, cpus, nUrls)
+    else {
+      val m = Bench.stageBench(spark, nUrls)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    }
+    spark.stop()
+  }
+
+  /** Per-partition row counts and per-partition wall time of the fetch
+    * stage — separates key-skew from scheduler starvation. */
+  def diag(spark: org.apache.spark.sql.SparkSession, cpus: Int, nUrls: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.crawl.{FrontierEngine, PageStore, RobotsPolicy, WebSpec}
+    val nHosts = 256
+    val spec = WebSpec(nCats = nUrls, nArticles = 1000, nHosts = nHosts,
+      branching = 4, articlesPerCat = 4, withBlocked = false)
+    val store = new PageStore(spec)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val salted = spark.range(nUrls)
+      .as[Long]
+      .map(i => (s"https://host${i % nHosts}.graft.example/wiki/Category:K$i", i))
+      .toDF("url", "seq")
+      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), 4))
+      .as[(String, Long)]
+    val fetchFn = FrontierEngine.politeFetch(store, RobotsPolicy.allowAll, 0.0, 4) _
+    val stats = salted.mapPartitions { it =>
+      val t0 = System.nanoTime()
+      var n = 0L
+      var links = 0L
+      fetchFn(it).foreach { r =>
+        n += 1
+        if (r._3.isDefined)
+          links += FrontierEngine.extractLinks((r._1, r._2, r._3.get)).size
+      }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), n, links,
+        (System.nanoTime() - t0) / 1e9))
+    }.collect().sortBy(_._1)
+    stats.foreach { case (p, n, l, s) => println(f"part=$p%3d rows=$n%8d links=$l%9d sec=$s%7.2f") }
+    println(f"total=${stats.map(_._2).sum} maxSec=${stats.map(_._4).max}%.2f " +
+      f"sumSec=${stats.map(_._4).sum}%.2f wallIfBalanced=${stats.map(_._4).sum / cpus}%.2f")
+  }
+}

@@ -72,30 +72,77 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
     else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-  /** Crawl all articles in `work` (url, title) not yet in docs. */
-  def run(work: DataFrame): Long = {
+  /** Crawled-check key (F4 fidelity quirk): the reference keys "already
+    * crawled" on the NARROW-sanitized title — the save directory name
+    * (`zhwiki_leafs.py:113-123`), NOT the url. Two work items whose
+    * titles sanitize identically collide: once one is committed, the
+    * other is skipped forever. */
+  private def crawledKey(title: org.apache.spark.sql.Column) =
+    replace(replace(title, lit(":"), lit("-")), lit("/"), lit("--"))
+
+  /** Crawl all articles in `work` (url, title) not yet in docs, in
+    * seq-ordered EPOCHS with one atomic docs-table commit per epoch
+    * (ST2/S9, `zhwiki_leafs.py:70-88`: the reference commits every
+    * THREADS*4 items and resumes from the epoch file). A crash loses at
+    * most the in-flight epoch; the next run's anti-join resumes at doc
+    * granularity — strictly finer than the reference's epoch file.
+    * `maxEpochs` caps the epochs processed this call (tests use it to
+    * simulate a mid-list kill). Returns docs parsed this call. */
+  def run(work: DataFrame, maxEpochs: Int = Int.MaxValue): Long = {
     val pending =
       if (docs.isEmpty) work
-      else work.join(docs.read().select(col("doc_id").as("url")), Seq("url"), "left_anti")
+      else work.join(
+        docs.read().select(crawledKey(col("title")).as("__ck")).distinct(),
+        crawledKey(work("title")) === col("__ck"), "left_anti")
+
+    // deterministic work order → seq via sorted zipWithIndex (two narrow
+    // passes, no single-partition window); persisted so the per-epoch
+    // range filters don't recompute the anti-join
+    val seqd = pending
+      .select("url", "title")
+      .orderBy("url", "title")
+      .as[(String, String)]
+      .rdd.zipWithIndex()
+      .map { case ((url, title), i) => (url, title, i) }
+      .toDF("url", "title", "seq")
+      .persist()
+    val total = seqd.count()
+    val epochSize = math.max(1, cfg.leafEpochSize).toLong
 
     val (st, rb, sf) = (store, cfg.robots, cfg.saltFactor)
     val parseFn = fetchParse(st, rb) _
-    val parsed = pending
-      .select("url", "title")
-      .as[(String, String)]
-      .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), sf, nPart))
-      .as[(String, String)]
-      .mapPartitions(parseFn)
-
-    // persist: count + append must not re-run the fetch+parse stage
-    val df = parsed.toDF().persist()
-    val n = df.count()
-    if (n > 0) docs.append(df, s"leafs n=$n")
-    df.unpersist()
-    n
+    var parsedTotal = 0L
+    var start = 0L
+    var epoch = 0
+    while (start < total && epoch < maxEpochs) {
+      val parsed = seqd
+        .filter(col("seq") >= start && col("seq") < start + epochSize)
+        .select("url", "title")
+        .as[(String, String)]
+        .repartition(nPart, FrontierEngine.saltedPartitionKey(col("url"), sf))
+        .as[(String, String)]
+        .mapPartitions(parseFn)
+      // persist: count + append must not re-run the fetch+parse stage
+      val df = parsed.toDF().persist()
+      val n = df.count()
+      if (n > 0) docs.append(df, s"leafs epoch=$epoch n=$n")
+      df.unpersist()
+      parsedTotal += n
+      start += epochSize
+      epoch += 1
+    }
+    seqd.unpersist()
+    parsedTotal
   }
 
-  /** Media second stage: image spans → byte fetch → media table. */
+  /** Media second stage (X9+S11, `zhwiki_leafs.py:1455-1502`): image
+    * spans → fetch the image's FILE PAGE → resolve the real media URL
+    * from its `.fullMedia p a` anchor (the reference's second page
+    * fetch) → download bytes (≤10 retries there; the synthetic store is
+    * deterministic so one attempt decides) → media table with the
+    * PAYLOAD as a binary column (the reference stores the bytes on
+    * disk). Failures land as status='failed' rows — the pic_remain.csv
+    * analog (`zhwiki_leafs.py:1498-1502`). */
   def fetchMedia(): Long = {
     val imgs = docs.read()
       .select(col("doc_id"), explode(col("spans")).as("s"))
@@ -106,13 +153,18 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     val st = store
     val fetched = imgs.as[(String, String)].mapPartitions { it =>
       it.map { case (docId, wikiUrl) =>
-        // ≤10 retries (`zhwiki_leafs.py:1487`); the synthetic store is
-        // deterministic so one attempt decides
-        val bytes = st.fetchMediaBytes(wikiUrl)
-        (docId, wikiUrl, bytes.map(_.length).getOrElse(0),
-          if (bytes.isDefined) "ok" else "failed")
+        st.fetch(wikiUrl).flatMap(PageParser.resolveFullMedia) match {
+          case Some((mediaUrl, title)) =>
+            val bytes = st.fetchMediaBytes(mediaUrl)
+            (docId, wikiUrl, Option(mediaUrl), Option(title), bytes,
+              bytes.map(_.length).getOrElse(0),
+              if (bytes.isDefined) "ok" else "failed")
+          case None =>
+            (docId, wikiUrl, None: Option[String], None: Option[String],
+              None: Option[Array[Byte]], 0, "no_file_page")
+        }
       }
-    }.toDF("doc_id", "wiki_url", "n_bytes", "status")
+    }.toDF("doc_id", "wiki_url", "media_url", "title", "payload", "n_bytes", "status")
     val n = fetched.count()
     if (n > 0) media.append(fetched, s"media n=$n")
     n

@@ -77,6 +77,11 @@ final class PageStore(val spec: WebSpec) extends Serializable {
   /** In-page duplicate article li (J2 quirk source). */
   def hasInPageDup(c: Int): Boolean = h(s"dup$c") % 5 == 0
 
+  /** Redlink article li (P9 quirk source): a link whose title attr
+    * carries the MediaWiki missing-page marker `页面不存在` — the
+    * extractor must drop it (`zhwiki_all.py:53`). */
+  def hasRedlink(c: Int): Boolean = h(s"red$c") % 6 == 0
+
   private def li(href: String, title: String): String =
     s"""<li><a href="${escape(href)}" title="${escape(title)}">${escape(title)}</a></li>"""
 
@@ -109,6 +114,12 @@ final class PageStore(val spec: WebSpec) extends Serializable {
       if (hasInPageDup(c) && artsHere.nonEmpty) {
         val a = artsHere.head
         sb.append(li(s"/wiki/A$a", articleTitle(a))) // J2 in-page duplicate
+      }
+      if (hasRedlink(c) && page == 1) {
+        // P9 redlink: title attr carries the missing-page marker
+        val a = (c * 31 + 7) % (spec.nArticles + spec.nCats)
+        sb.append(li(s"/w/index.php?title=A$a&action=edit&redlink=1",
+          s"A$a（页面不存在）"))
       }
       sb.append("</ul>")
       if (hasNext)
@@ -163,7 +174,15 @@ final class PageStore(val spec: WebSpec) extends Serializable {
   }
 
   /** Infobox variants cycling through the restricted branch set. */
-  private def infoboxHtml(a: Int, v: Long): String = (v % 5) match {
+  private def infoboxHtml(a: Int, v: Long): String = (v % 6) match {
+    case 5 => // nested table inside a td (F11 our_merge_dict path)
+      s"""<table class="infobox"><tbody>
+          <tr><th>主欄</th><td>外層文字<table><tbody>
+          <tr><th>內鍵一</th><td>內值一</td></tr>
+          <tr><th>內鍵二</th><td>內值二</td></tr>
+          </tbody></table></td></tr>
+          <tr><th>尾鍵</th><td>尾值</td></tr>
+          </tbody></table>"""
     case 0 => "" // no infobox
     case 1 => // caption + th/td rows + ul td
       s"""<table class="infobox"><caption>條目A$a</caption><tbody>
@@ -229,10 +248,21 @@ final class PageStore(val spec: WebSpec) extends Serializable {
       val c = cs.toIntOption.getOrElse(return None)
       if (c < 0 || c >= spec.nCats || isMissing(c)) None
       else Some(categoryHtml(c, page))
+    } else if (path.startsWith("File:")) {
+      Some(fileHtml(path.stripPrefix("File:")))
     } else if (path.startsWith("A")) {
       path.stripPrefix("A").takeWhile(_.isDigit).toIntOption
         .filter(a => a >= 0 && a < spec.nArticles)
         .map(articleHtml)
     } else None
   }
+
+  /** Image FILE PAGE (X9 fixture): the `.fullMedia p a` anchor carries a
+    * protocol-relative href to the real media URL (mirrors the MediaWiki
+    * file-description layout the reference resolves,
+    * `zhwiki_leafs.py:1465-1474`). */
+  def fileHtml(name: String): String =
+    s"""<html><body><div class="fullMedia"><p>""" +
+      s"""<a href="//upload.graft.example/media/${escape(name)}" title="${escape(name)}">原始文件</a>""" +
+      """</p></div></body></html>"""
 }

@@ -36,13 +36,15 @@ object TextNorm {
   }
 
   /** Reference `our_merge_dict` (`zhwiki_leafs.py:273-280`): merge
-    * `add` into `main` (insertion-ordered), suffixing repeated keys. */
-  def mergeDict(
-      main: collection.mutable.LinkedHashMap[String, Any],
-      add: collection.Map[String, Any]
-  ): collection.mutable.LinkedHashMap[String, Any] = {
+    * `add` into `main` (insertion-ordered), suffixing repeated keys.
+    * Generic in the value type so the infobox parser's IV trees merge
+    * through the same code as plain maps. */
+  def mergeDict[V](
+      main: collection.mutable.LinkedHashMap[String, V],
+      add: collection.Map[String, V]
+  ): collection.mutable.LinkedHashMap[String, V] = {
     if (main.isEmpty) {
-      val m = collection.mutable.LinkedHashMap.empty[String, Any]
+      val m = collection.mutable.LinkedHashMap.empty[String, V]
       add.foreach { case (k, v) => m(k) = v }
       m
     } else {

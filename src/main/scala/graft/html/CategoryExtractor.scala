@@ -28,6 +28,12 @@ object CategoryExtractor {
       emitIdx: Int
   )
 
+  /** P9: MediaWiki missing-page (redlink) marker — anchors whose title
+    * attr matches are dropped from article emission, mirroring
+    * `re.search("页面不存在", cur.attrs["title"])` (`zhwiki_all.py:53`,
+    * `zhwiki_leafs.py:1527`). */
+  private val MissingPageRe = "页面不存在".r
+
   private def nextPageAnchor(div: HElem): Option[HElem] = {
     // BS4 `find('a', text=re.compile('下一页'))`: anchors whose direct
     // string content matches; fallback regex 下壹頁 (`zhwiki_all.py:158-160`)
@@ -68,8 +74,11 @@ object CategoryExtractor {
       pages.findByTag("ul").foreach { ul =>
         ul.findByTag("li").foreach { li =>
           li.findFirst(_.name == "a").foreach { a =>
-            val href = base + a.attr("href").getOrElse("")
-            emit(href, a.attr("title").getOrElse(""), 1, Page)
+            val title = a.attr("title").getOrElse("")
+            if (MissingPageRe.findFirstIn(title).isEmpty) {  // P9 redlink drop
+              val href = base + a.attr("href").getOrElse("")
+              emit(href, title, 1, Page)
+            }
           }
         }
       }

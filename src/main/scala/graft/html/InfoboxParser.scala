@@ -168,6 +168,13 @@ object InfoboxParser {
             d(tdMiddleB) = sub
             if (firstContent && e.text.endsWith("：") && hasStyle(td, "text-align:\\s*center"))
               shouldUnderFirst = true
+          case "table" => // nested table in a td (`:296-297` via
+            // get_one_tag_content_br, `:769,988-993` direct recursion):
+            // parse with get_table_info_3 and our_merge_dict (F11) the
+            // result into the td's dict, flushing pending inline text
+            if (listAdd.nonEmpty) { leafList(targetDict()).items += listAdd; listAdd = "" }
+            graft.functions.TextNorm.mergeDict(
+              targetDict().m, parse(pageUrl, base, e).m)
           case "img" => // img entry (`:887-896`)
             var src = e.attr("src").getOrElse("")
             if (src.startsWith("//")) src = "https:" + src

@@ -82,6 +82,20 @@ object PageParser {
     sb.toString
   }
 
+  /** X9: resolve an image FILE PAGE to its real media URL + title —
+    * `soup.find('div', class='fullMedia').find('p').find('a')`, href
+    * prefixed with 'https:' (the anchor is protocol-relative), title =
+    * the anchor's title attr (`zhwiki_leafs.py:1465-1474`). None when
+    * the page has no fullMedia div (malformed file page). */
+  def resolveFullMedia(html: String): Option[(String, String)] = {
+    val doc = HtmlScanner.parse(html)
+    for {
+      fm <- doc.findFirst(e => e.name == "div" && e.classes.contains("fullMedia"))
+      p <- fm.findFirst(_.name == "p")
+      a <- p.findFirst(_.name == "a")
+    } yield ("https:" + a.attr("href").getOrElse(""), a.attr("title").getOrElse(""))
+  }
+
   /** Parse one article page. Returns None when the page has no
     * mw-parser-output div (reference returns early, `:134-135`). */
   def parse(pageUrl: String, base: String, html: String): Option[ParsedPage] = {

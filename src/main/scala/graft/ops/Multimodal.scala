@@ -29,21 +29,47 @@ object Multimodal {
       col("doc_id"),
       unhex(repeat(md5(col("doc_id").cast("string")), 4)).as("payload"))
 
-  /** STUB decoder — deterministic fake for the absent codec. Reads the
-    * payload "header": width/height from bytes 0-1, format from byte 2.
-    * A real implementation would hand `blob.payload` to a decoder here;
+  /** STUB byte decoder — deterministic fake for the absent codec. Reads
+    * the payload "header": width/height from bytes 0-1, format from
+    * byte 2. A real implementation would hand the bytes to a codec here;
     * the signature (bytes in, typed meta out, partition-local, no
     * driver involvement) is exactly what the real one needs. */
-  def decodeStub(blob: MediaBlob): MediaMeta = {
-    val b0 = blob.payload(0) & 0xff
-    val b1 = blob.payload(1) & 0xff
-    val b2 = blob.payload(2) & 0xff
+  def decodeBytes(payload: Array[Byte]): (Int, Int, String, Int) = {
+    val b0 = payload(0) & 0xff
+    val b1 = payload(1) & 0xff
+    val b2 = payload(2) & 0xff
     val fmt = (b2 % 3) match {
       case 0 => "jpeg"
       case 1 => "png"
       case _ => "webp"
     }
-    MediaMeta(blob.doc_id, 64 + b0 % 192, 64 + b1 % 192, fmt, blob.payload.length)
+    (64 + b0 % 192, 64 + b1 % 192, fmt, payload.length)
+  }
+
+  def decodeStub(blob: MediaBlob): MediaMeta = {
+    val (w, hh, fmt, n) = decodeBytes(blob.payload)
+    MediaMeta(blob.doc_id, w, hh, fmt, n)
+  }
+
+  /** Metadata row decoded from a crawl `media`-table payload. */
+  case class CrawlMediaMeta(
+      wiki_url: String, width: Int, height: Int, format: String, n_bytes: Int)
+
+  /** Decode the CRAWL media table (LeafPipeline.fetchMedia output): real
+    * fetched payload bytes, not synthesized ones. Only status='ok' rows
+    * carry a payload; the decode is the same partition-local typed
+    * stage as decodeMeta. */
+  def decodeMediaTable(media: DataFrame): Dataset[CrawlMediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("status") === "ok")
+      .select(col("wiki_url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, payload) =>
+        val (w, h, fmt, n) = decodeBytes(payload)
+        CrawlMediaMeta(url, w, h, fmt, n)
+      })
   }
 
   /** Decode stage: typed Dataset + mapPartitions so a real decoder can

@@ -48,6 +48,20 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps")
       )
 
+  /** §2.10 monitoring path: approximate distinct counts (HLL++, one
+    * map-side-combined shuffle of fixed-size sketches) — the frontier
+    * dashboard metric where exact countDistinct would shuffle 10^10
+    * keys. Deterministic for fixed input but not SQL-oracle-checkable
+    * (DuckDB's HLL differs), so it ships with a rows-only driver check
+    * plus a spec pinning <5% relative error vs the exact counts. */
+  def approxDistinctByKey(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx")
+      )
+
   /** A2: deterministic first-per-group. The reference's pandas
     * `groupby('url') ... values[0]` (`zhwiki_leafs.py:1649`) takes first
     * in file order; relationally we pin the order explicitly (min) so the

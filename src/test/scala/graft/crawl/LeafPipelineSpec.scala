@@ -65,6 +65,49 @@ class LeafPipelineSpec extends SparkSpec {
     assert(n1 > 0 && n2 == 0)
   }
 
+  test("ST2/S9 epoch batching: kill mid-list resumes without refetch or loss") {
+    val store = new PageStore(spec)
+    val dir = tmpDir("leaf_epoch")
+    val cfg = CrawlConfig(workDir = dir, useBloom = false, leafEpochSize = 8)
+    val fe = new FrontierEngine(spark, store, cfg)
+    fe.run()
+    val work = LeafPipeline.workList(fe.frontier.read())
+    val total = {
+      // uninterrupted control run in its own table
+      val cfgRef = cfg.copy(workDir = tmpDir("leaf_epoch_ref"))
+      new LeafPipeline(spark, store, cfgRef).run(work)
+    }
+    assert(total > 16, "need >2 epochs for the kill to be mid-list")
+
+    // "kill" after 2 committed epochs (each epoch is one atomic commit)
+    val lp1 = new LeafPipeline(spark, store, cfg)
+    val n1 = lp1.run(work, maxEpochs = 2)
+    assert(n1 <= 16 && n1 > 0)
+    assert(lp1.docs.currentVersion == 2, "one commit per epoch")
+
+    // resume: a fresh pipeline over the same table crawls ONLY the rest
+    val lp2 = new LeafPipeline(spark, store, cfg)
+    val n2 = lp2.run(work)
+    assert(n1 + n2 == total, s"resume lost/refetched docs: $n1 + $n2 != $total")
+    // doc set equals the uninterrupted run's work coverage
+    assert(lp2.docs.read().select("doc_id").distinct().count() == total)
+  }
+
+  test("F4 crawled-check keys on narrow-sanitized title (reference quirk)") {
+    import org.apache.spark.sql.functions.col
+    val store = new PageStore(spec)
+    val cfg = CrawlConfig(workDir = tmpDir("leaf_key"), useBloom = false)
+    val lp = new LeafPipeline(spark, store, cfg)
+    // two work items, different urls, titles colliding AFTER sanitize:
+    // "A1:x" and "A1-x" both key to "A1-x" — the reference's directory
+    // existence check (`zhwiki_leafs.py:113-123`) conflates them
+    val w1 = Seq((store.articleUrl(0, 1), "A1:x")).toDF("url", "title")
+    val w2 = Seq((store.articleUrl(0, 2), "A1-x")).toDF("url", "title")
+    assert(lp.run(w1) == 1)
+    assert(lp.run(w2) == 0, "colliding sanitized title must be skipped")
+    assert(lp.run(w1) == 0)
+  }
+
   test("media stage: bytes fetched per distinct image, failures recorded") {
     val store = new PageStore(spec)
     val dir = tmpDir("leaf3")
@@ -80,5 +123,27 @@ class LeafPipelineSpec extends SparkSpec {
     assert(byStatus.getOrElse("ok", 0L) > 0)
     // deterministic failure injection (~1/13) should surface
     assert(byStatus.contains("failed"))
+    assert(!byStatus.contains("no_file_page"), "every File: page must resolve")
+
+    // X9: media_url resolved through the file page's .fullMedia anchor,
+    // S11: payload bytes stored; n_bytes matches, oracle bytes identical
+    import org.apache.spark.sql.functions.col
+    val rows = lp.media.read()
+      .select("wiki_url", "media_url", "payload", "n_bytes", "status")
+      .as[(String, Option[String], Option[Array[Byte]], Int, String)]
+      .collect()
+    rows.foreach { case (wikiUrl, mediaUrl, payload, nBytes, status) =>
+      val expected = store.fetch(wikiUrl).flatMap(PageParser.resolveFullMedia)
+      assert(mediaUrl == expected.map(_._1), s"resolution hop differs for $wikiUrl")
+      if (status == "ok") {
+        assert(payload.isDefined && payload.get.length == nBytes)
+        assert(payload.get.sameElements(store.fetchMediaBytes(mediaUrl.get).get))
+      } else assert(payload.isEmpty && nBytes == 0)
+    }
+
+    // multimodal decode over the REAL media table payloads
+    val metas = graft.ops.Multimodal.decodeMediaTable(lp.media.read()).collect()
+    assert(metas.length == byStatus("ok"))
+    assert(metas.forall(m => m.n_bytes >= 64 && m.width >= 64 && m.height >= 64))
   }
 }

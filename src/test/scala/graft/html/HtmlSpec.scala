@@ -46,6 +46,29 @@ class HtmlSpec extends AnyFunSuite {
     assert(next.head.isleaf == 0)
   }
 
+  test("category extractor: P9 redlink (页面不存在 title) dropped from articles") {
+    val store = new PageStore(WebSpec(nCats = 40, nArticles = 60))
+    val red = (0 until 40).find(c => store.hasRedlink(c) && !store.isMissing(c)).get
+    val html = store.categoryHtml(red, 1)
+    assert(html.contains("页面不存在"), "fixture must emit a redlink li")
+    val links = CategoryExtractor.extract("https://x", html)
+    assert(links.forall(l => !l.title.contains("页面不存在")),
+      "redlink must not be emitted")
+    assert(links.forall(l => !l.url.contains("redlink=1")))
+    // emission indices stay contiguous (dropped links consume no idx)
+    assert(links.map(_.emitIdx) == links.indices.toVector)
+  }
+
+  test("page parser: X9 fullMedia resolution (zhwiki_leafs.py:1465-1474)") {
+    val store = new PageStore(WebSpec())
+    val html = store.fileHtml("Img5_0.jpg")
+    val Some((mediaUrl, title)) = PageParser.resolveFullMedia(html)
+    assert(mediaUrl == "https://upload.graft.example/media/Img5_0.jpg")
+    assert(title == "Img5_0.jpg")
+    // a page without a fullMedia div resolves to None
+    assert(PageParser.resolveFullMedia("<html><body><p>x</p></body></html>").isEmpty)
+  }
+
   test("page parser: spans in canonical order with offsets") {
     val store = new PageStore(WebSpec(nCats = 10, nArticles = 30))
     val base = "https://zh.wikipedia.org"
@@ -101,6 +124,21 @@ class HtmlSpec extends AnyFunSuite {
     assert(json.contains(base + "/wiki/A"))
     // empty leaves cleaned: no  "list": [] anywhere
     assert(!json.contains("\"list\": []"))
+  }
+
+  test("infobox: nested td table merges via our_merge_dict (F11)") {
+    val store = new PageStore(WebSpec(nCats = 10, nArticles = 60))
+    val base = "https://zh.wikipedia.org"
+    val a = (0 until 60).find(a => store.articleHtml(a).contains("內鍵一")).get
+    val parsed = PageParser.parse(s"$base/wiki/A$a", base, store.articleHtml(a)).get
+    val json = parsed.infoJson.get
+    // inner-table keys merged into the outer td's dict (repeat-suffix
+    // semantics of our_merge_dict), inline text kept alongside
+    assert(json.contains("\"主欄\""))
+    assert(json.contains("\"內鍵一\"") && json.contains("內值一"))
+    assert(json.contains("\"內鍵二\"") && json.contains("內值二"))
+    assert(json.contains("外層文字"))
+    assert(json.contains("\"尾鍵\"") && json.contains("尾值"))
   }
 
   test("infobox: th-only levels + bullet third key variant") {

@@ -36,6 +36,29 @@ class OpsSpec extends SparkSpec {
     assert(closure == reach)
   }
 
+  test("pythonQuote column matches the scalar Python-quote semantics") {
+    import org.apache.spark.sql.functions.col
+    val titles = Seq("中文条目", "A B", "a/b", "x~y", "p+q", "s*t", "A:B?C", "日本-歷史")
+    val got = titles.toDF("t")
+      .select(FrontierCsv.pythonQuote(col("t")))
+      .as[String].collect().toSeq
+    assert(got == titles.map(graft.functions.UrlFunctions.quote))
+  }
+
+  test("approx_count_distinct monitoring path within 5% of exact") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val approx = Relational.approxDistinctByKey(df)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Relational.countDistinctByKey(df)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p, s)) =>
+      val (pa, sa) = approx(k)
+      assert(math.abs(pa - p).toDouble / p < 0.05, s"$k parts: $pa vs $p")
+      assert(math.abs(sa - s).toDouble / s < 0.05, s"$k supps: $sa vs $s")
+    }
+  }
+
   test("frontier TSV round-trip preserves rows and types") {
     val dir = tmpDir("tsv")
     val df = Seq(
