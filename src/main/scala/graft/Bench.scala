@@ -62,7 +62,13 @@ object Bench {
       withBlocked = false)
     val store = new PageStore(spec)
     val dir = java.nio.file.Files.createTempDirectory("graftbench").toString
-    val cfg = CrawlConfig(workDir = dir, blockedUrls = Set.empty, useBloom = true)
+    // saltFactor 16: the BFS web has only `nHosts` hosts, so the fetch
+    // partition key space is nHosts × salt cells — 32×4=128 cells over
+    // 32 partitions leaves a ~2× max/mean Poisson imbalance; 512 cells
+    // balance to ±10%. Politeness is off here, so salt only affects
+    // balance (each host still co-locates per slice when pacing is on).
+    val cfg = CrawlConfig(workDir = dir, blockedUrls = Set.empty, useBloom = true,
+      saltFactor = 16)
     val engine = new FrontierEngine(spark, store, cfg)
     val t0 = System.nanoTime()
     engine.run()
