@@ -56,6 +56,16 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 10000000L, // sizing; shard the bloom beyond ~10^9
     bloomMinRows: Long = 2000000L, // activate prefilter once seen ≥ this
     maxSupersteps: Int = 100000,
+    // files written per state-table append/overwrite. Every superstep
+    // RE-READS the full frontier/seen tables for the exact anti-joins,
+    // so the file count (supersteps × appendFiles) binds re-read cost:
+    // 32 files/superstep made late supersteps spend 1.4-2.4 s just
+    // listing/opening parquet footers (measured r2). 4 bounds that at
+    // ~4×supersteps files; raise at 10^10 scale where per-superstep
+    // deltas are GBs and 4 write tasks would bottleneck (or add
+    // compaction). Applied via repartition (not coalesce) so the
+    // upstream join/window parallelism is unaffected.
+    appendFiles: Int = 4,
     // leaf-pipeline epoch commit granularity (ST2/S9): the reference
     // commits every THREADS*4=128 items; scaled to the distributed
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
@@ -253,6 +263,18 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     if (!(t.currentVersion > 0 && t.lineageAt(t.currentVersion) == tag))
       t.append(df, tag, coalesceTo)
 
+  // env-gated phase timing for superstep cost attribution (bench tuning)
+  private val timing = sys.env.get("GRAFT_SUPERSTEP_TIMING").contains("1")
+  private def phase[A](k: Int, name: String)(body: => A): A = {
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[superstep $k] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+  }
+
   /** One superstep. Returns (next queue size, fetched count). */
   def superstep(k: Int, nextSeqStart: Long): (Long, Long) = {
     if (seenApprox < 0) seenApprox = seen.read().count() // resume/startup
@@ -276,17 +298,21 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // materialize the fetch exactly once, collecting per-partition
     // metrics in the same pass (replaces MyLog counters,
     // `zhwiki_all.py:332-333`)
-    val metricRows = fetched
-      .groupBy(spark_partition_id().as("partition"))
-      .agg(
-        count(lit(1)).as("fetched"),
-        sum(when(col("html").isNull, 1L).otherwise(0L)).as("errors"))
-      .collect()
-      .map(r => (k, r.getInt(0), r.getLong(1), r.getLong(2)))
+    val metricRows = phase(k, "fetch+metrics") {
+      fetched
+        .groupBy(spark_partition_id().as("partition"))
+        .agg(
+          count(lit(1)).as("fetched"),
+          sum(when(col("html").isNull, 1L).otherwise(0L)).as("errors"))
+        .collect()
+        .map(r => (k, r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
     val nFetched = metricRows.map(_._3).sum
-    appendOnce(metrics, s"metrics k=$k",
-      metricRows.toSeq.toDF("superstep", "partition", "fetched", "errors"),
-      coalesceTo = 1)
+    phase(k, "metrics append") {
+      appendOnce(metrics, s"metrics k=$k",
+        metricRows.toSeq.toDF("superstep", "partition", "fetched", "errors"),
+        coalesceTo = 1)
+    }
 
     val links = fetched
       .filter(col("html").isNotNull)
@@ -309,7 +335,10 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     val pageRows = antiJoinWithBloom(
       pageCand, prior, Seq("url", "title", "pre_url", "isleaf"),
       if (bloomActive) leafBloom else None)
-    appendOnce(frontier, frontierTag, nonPage.unionByName(pageRows))
+    phase(k, "frontier append") {
+      appendOnce(frontier, frontierTag,
+        nonPage.unionByName(pageRows).repartition(cfg.appendFiles))
+    }
 
     // ---- enqueue (queue/viewed semantics) ----
     val cand = links.filter(col("section") =!= "page")
@@ -324,7 +353,9 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       if (bloomActive) seenBloom else None)
       .persist()
 
-    appendOnce(seen, seenTag, unseen.select("url"))
+    phase(k, "seen append") {
+      appendOnce(seen, seenTag, unseen.select("url").repartition(cfg.appendFiles))
+    }
 
     val blocked = cfg.blockedUrls
     val toQueue = unseen
@@ -341,10 +372,15 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .toDF("url", "seq")
       .persist()
 
-    val nq = nextQueue.count()
+    val nq = phase(k, "queue seq+count") { nextQueue.count() }
     // the queue overwrite is the superstep's commit point: once it
     // lands, re-execution of step k is impossible (k advances)
-    queue.overwrite(nextQueue, s"superstep=${k + 1} nextSeq=${nextSeqStart + nq}")
+    phase(k, "queue overwrite") {
+      // nextQueue is already materialized (count above), so coalesce
+      // here only merges cached partitions for the write
+      queue.overwrite(nextQueue, s"superstep=${k + 1} nextSeq=${nextSeqStart + nq}",
+        coalesceTo = cfg.appendFiles)
+    }
 
     // merge candidate deltas into the persistent blooms (supersets of
     // the committed deltas — over-approximation is safe)

@@ -125,7 +125,8 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
       // persist: count + append must not re-run the fetch+parse stage
       val df = parsed.toDF().persist()
       val n = df.count()
-      if (n > 0) docs.append(df, s"leafs epoch=$epoch n=$n")
+      // df is persisted+counted: coalesce only merges cached partitions
+      if (n > 0) docs.append(df, s"leafs epoch=$epoch n=$n", coalesceTo = cfg.appendFiles)
       df.unpersist()
       parsedTotal += n
       start += epochSize
@@ -165,8 +166,10 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
         }
       }
     }.toDF("doc_id", "wiki_url", "media_url", "title", "payload", "n_bytes", "status")
+      .persist() // count + append must not run the byte fetch twice
     val n = fetched.count()
-    if (n > 0) media.append(fetched, s"media n=$n")
+    if (n > 0) media.append(fetched.coalesce(cfg.appendFiles), s"media n=$n")
+    fetched.unpersist()
     n
   }
 }
