@@ -67,6 +67,10 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
 
   val docs = new IceLite(spark, s"${cfg.workDir}/docs")
   val media = new IceLite(spark, s"${cfg.workDir}/media")
+  /** Per-(epoch, partition) parse metrics — the leaf-side twin of the
+    * frontier metrics table (north-star: per-partition fetch/parse
+    * metrics). */
+  val leafMetrics = new IceLite(spark, s"${cfg.workDir}/leaf_metrics")
 
   private val nPart =
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
@@ -124,9 +128,19 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
         .mapPartitions(parseFn)
       // persist: count + append must not re-run the fetch+parse stage
       val df = parsed.toDF().persist()
-      val n = df.count()
-      // df is persisted+counted: coalesce only merges cached partitions
-      if (n > 0) docs.append(df, s"leafs epoch=$epoch n=$n", coalesceTo = cfg.appendFiles)
+      // materialize via the per-partition metric pass (one job), like
+      // the frontier's fetch metrics
+      val metricRows = df
+        .groupBy(spark_partition_id().as("partition"))
+        .agg(count(lit(1)).as("parsed"))
+        .collect()
+        .map(r => (epoch, r.getInt(0), r.getLong(1)))
+      val n = metricRows.map(_._3).sum
+      if (n > 0) {
+        docs.append(df, s"leafs epoch=$epoch n=$n", coalesceTo = cfg.appendFiles)
+        leafMetrics.append(metricRows.toSeq.toDF("epoch", "partition", "parsed"),
+          s"leaf_metrics epoch=$epoch", coalesceTo = 1)
+      }
       df.unpersist()
       parsedTotal += n
       start += epochSize

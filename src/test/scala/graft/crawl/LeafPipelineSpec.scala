@@ -91,6 +91,10 @@ class LeafPipelineSpec extends SparkSpec {
     assert(n1 + n2 == total, s"resume lost/refetched docs: $n1 + $n2 != $total")
     // doc set equals the uninterrupted run's work coverage
     assert(lp2.docs.read().select("doc_id").distinct().count() == total)
+    // per-partition parse metrics account for every parsed doc
+    val mSum = lp2.leafMetrics.read()
+      .agg(org.apache.spark.sql.functions.sum("parsed")).as[Long].head()
+    assert(mSum == total)
   }
 
   test("F4 crawled-check keys on narrow-sanitized title (reference quirk)") {
