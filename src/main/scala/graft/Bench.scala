@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.crawl.{CrawlConfig, FrontierEngine, LeafPipeline, PageStore, RobotsPolicy, WebSpec}
 import graft.functions.UrlFunctions.hostOf
-import org.apache.spark.sql.functions.{col, lit, pmod, udf, xxhash64}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, udf, xxhash64}
 
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
@@ -153,6 +153,51 @@ object Bench {
     )
   }
 
+  /** Frontier dedup rate at the 10^7-row local design point (BASELINE
+    * target: "frontier dedup rate on a 10^10-URL synthetic frontier" —
+    * evidenced here at 10^7 with the cost model documented in
+    * BASELINE.md). Builds an nSeen-row seen table ON PARQUET (the real
+    * superstep reads committed state, not cached DataFrames), a
+    * candidate batch with ~50% true duplicates, and measures the
+    * engine's actual dedup operator — the bloom-prefiltered exact
+    * anti-join — against the plain exact anti-join. */
+  def dedupBench(spark: SparkSession, nSeen: Int, nCand: Int): Map[String, Double] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString
+    val url = (idCol: org.apache.spark.sql.Column) =>
+      concat(lit("https://host"), pmod(idCol, lit(997)), lit(".graft.example/wiki/A"), idCol)
+    spark.range(nSeen.toLong).select(url(col("id")).as("url"))
+      .repartition(8).write.parquet(s"$dir/seen")
+    val seen = spark.read.parquet(s"$dir/seen")
+    // candidates: ids in [nSeen/2, nSeen/2 + nCand) → ~50% already seen
+    val cand = spark.range(nSeen / 2L, nSeen / 2L + nCand)
+      .select(url(col("id")).as("url"))
+    val bloom = seen.stat.bloomFilter("url", nSeen.toLong, 0.01)
+
+    def best2(body: => Long): (Long, Double, Double) = {
+      val runs = (1 to 2).map { _ => timedWithSteal(body) }
+      val r = runs.minBy(_._2)
+      (r._1, r._2, r._3)
+    }
+    // warm-up (JIT + parquet footer cache), then measure both paths
+    cand.join(seen, Seq("url"), "left_anti").count()
+    val (nExact, exactSec, exactSteal) =
+      best2(cand.join(seen, Seq("url"), "left_anti").count())
+    val (nBloom, bloomSec, bloomSteal) = best2(
+      FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"), Some(bloom)).count())
+    require(nExact == nBloom, s"bloom path changed the result: $nExact vs $nBloom")
+    Map(
+      "dedup_seen_rows" -> nSeen.toDouble,
+      "dedup_cand_rows" -> nCand.toDouble,
+      "dedup_exact_sec" -> exactSec,
+      "dedup_exact_rows_per_sec" -> nCand / exactSec,
+      "dedup_bloom_sec" -> bloomSec,
+      "dedup_bloom_rows_per_sec" -> nCand / bloomSec,
+      "dedup_steal_pct" -> math.max(exactSteal, bloomSteal),
+      "dedup_unseen_rows" -> nExact.toDouble
+    )
+  }
+
   /** Politeness-bound fetch throughput — the BASELINE.json headline
     * condition ("under fixed politeness budget"). `nHosts` hosts each
     * capped at `rps` req/s: the ceiling is nHosts×rps and the engine's
@@ -234,6 +279,9 @@ object Bench {
       politeBench(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_URLS", "40000").toInt,
         nHosts = 256, rps = 20.0) ++
+      dedupBench(spark,
+        nSeen = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_SEEN", "10000000").toInt,
+        nCand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_CAND", "10000000").toInt) ++
       crawlBench(spark, crawlCats, nHosts = 32)
 
     val qs = warm.toSeq.sortBy(_._1)

@@ -9,7 +9,10 @@ object StageProbe {
     val nUrls = args.lift(1).map(_.toInt).getOrElse(2000000)
     val spark = Sessions.local(cpus, s"probe-$cpus")
     if (args.length > 2 && args(2) == "diag") diag(spark, cpus, nUrls)
-    else if (args.length > 2 && args(2) == "crawl") {
+    else if (args.length > 2 && args(2) == "dedup") {
+      val m = Bench.dedupBench(spark, nSeen = 10000000, nCand = 10000000)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "crawl") {
       val m = Bench.crawlBench(spark, nUrls, nHosts = 32)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     } else {

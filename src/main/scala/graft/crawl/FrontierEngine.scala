@@ -162,6 +162,26 @@ object FrontierEngine {
       graft.expressions.UrlExpressions.host_of(url),
       pmod(crc32(url.cast("binary")), lit(saltFactor)))
 
+  /** Exact left anti join behind an optional broadcast Bloom prefilter:
+    * rows whose key the bloom has definitely never seen skip the join
+    * shuffle; "might contain" rows go through the exact anti-join
+    * (false positives must not drop rows). */
+  def antiJoinWithBloom(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      bloom: Option[BloomFilter]
+  ): DataFrame = bloom match {
+    case None => left.join(right, keys, "left_anti")
+    case Some(b) =>
+      val bloomBc = spark.sparkContext.broadcast(b)
+      val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
+      val keyCol = concat_ws(KeySep, keys.map(col): _*)
+      left.filter(!mightContain(keyCol))
+        .unionByName(left.filter(mightContain(keyCol)).join(right, keys, "left_anti"))
+  }
+
   def sectionTag(s: CategoryExtractor.Section): String = s match {
     case CategoryExtractor.Subcat     => "subcat"
     case CategoryExtractor.SubcatNext => "subcat_next"
@@ -398,24 +418,12 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     (nq, nFetched)
   }
 
-  /** Exact left anti join behind an optional broadcast Bloom prefilter:
-    * rows whose key the bloom has definitely never seen skip the join
-    * shuffle; "might contain" rows go through the exact anti-join
-    * (false positives must not drop rows). */
   private def antiJoinWithBloom(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       bloom: Option[BloomFilter]
-  ): DataFrame = bloom match {
-    case None => left.join(right, keys, "left_anti")
-    case Some(b) =>
-      val bloomBc = spark.sparkContext.broadcast(b)
-      val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
-      val keyCol = concat_ws(KeySep, keys.map(col): _*)
-      left.filter(!mightContain(keyCol))
-        .unionByName(left.filter(mightContain(keyCol)).join(right, keys, "left_anti"))
-  }
+  ): DataFrame = FrontierEngine.antiJoinWithBloom(spark, left, right, keys, bloom)
 
   /** Run to completion (or maxSupersteps). Returns supersteps executed. */
   def run(): Int = {
