@@ -46,27 +46,26 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** Two-phase per-query top-k over scored (query, candidate) rows.
+  /** Per-query top-k over scored (query, candidate) rows: one window
+    * partitioned by query id.
     *
-    * A single window partitioned by query id collapses parallelism to
-    * nQueries (with a handful of queries ALL candidate pairs funnel into
-    * that many partitions at 100× scale). Phase 1 ranks per (query,
-    * scan partition) — parallelism stays at the candidate partition
-    * count and each partition forwards at most k rows per query; phase 2
-    * ranks the ≤ nPartitions×k survivors per query (tiny shuffle).
-    * Per-partition top-k ⊇ global top-k, so the result is identical:
-    * every global top-k row also ranks ≤ k within its own partition
-    * (the ordering is total — rounded cos desc, vec_id tie-break). */
+    * The classic worry — with few queries ALL candidate pairs funnel
+    * into nQueries window partitions — does NOT apply on Spark 3.5+/4.x:
+    * the optimizer rewrites `row_number ≤ k` into WindowGroupLimit with
+    * a PARTIAL pass before the exchange (verified in the executed plan,
+    * PLANS.md: `Sort → WindowGroupLimit → Exchange hashpartitioning
+    * (q.vec_id) → Sort → WindowGroupLimit → Window → Filter`), so each
+    * input partition forwards at most k rows per query and the shuffle
+    * carries ≤ k × nPartitions rows per query — exactly the two-phase
+    * top-k, built into the engine. A hand-rolled two-phase variant
+    * (extra spark_partition_id window) was measured 35% SLOWER (one
+    * extra sort+shuffle) and removed. */
   private def topKPerQuery(joined: DataFrame, k: Int): DataFrame = {
-    val ord = Seq(col("cos").desc, col("c.vec_id").asc)
-    val local = joined
-      .withColumn("part", spark_partition_id())
-      .withColumn("lrnk", row_number().over(
-        Window.partitionBy(col("q.vec_id"), col("part")).orderBy(ord: _*)))
-      .filter(col("lrnk") <= k)
-    local
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q.vec_id")).orderBy(ord: _*)))
+    val w = Window
+      .partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id").asc)
+    joined
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(
         col("q.vec_id").as("query_id"),
