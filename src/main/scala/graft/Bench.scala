@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions.{col, concat, lit, pmod, udf, xxhash64}
   *  - queries: per-query wall seconds over SPARK_GRAFT_SF_DIR (after a
   *    warm-up pass so JVM/codegen startup doesn't pollute per-query
   *    numbers; "total" stays the cold total for comparability);
-  *  - crawl: the BASELINE.json headline — sustained fetched-URLs/sec and
-  *    frontier dedup rate on a deterministic multi-host synthetic web at
-  *    the session's parallelism. Scaling efficiency is evidenced by
-  *    running this main at SPARK_GRAFT_CPUS=8 vs 32 on the SAME spec
-  *    (no real cluster in the sandbox — BASELINE.md records both).
+  *  - crawl: the BASELINE.json headline — sustained fetched-URLs/sec,
+  *    frontier dedup rate (10M×10M bloom-vs-exact anti-join), and the
+  *    politeness-bound rate, on a deterministic multi-host synthetic
+  *    web at the session's parallelism. Scaling efficiency is evidenced
+  *    separately by `tools/scaling.sh` (one fresh JVM per parallelism
+  *    leg, interleaved trials — BASELINE.md records the results).
   */
 object Bench {
 
