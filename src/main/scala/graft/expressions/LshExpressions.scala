@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Codegen'd random-hyperplane LSH bucketer.
+  *
+  * The declarative formulation derived each hyperplane sign with a
+  * per-row `md5('plane<p>|<dim>')` expression inside a higher-order
+  * `transform` lambda. Catalyst does not constant-fold inside lambda
+  * bodies (PLANS.md rule), so the executed plan evaluated
+  * nPlanes × 64 = 512 md5s PER EMBEDDING ROW — ~100× the cost of the
+  * projection itself at scan time. The signs are pure constants: this
+  * expression computes the sign matrix ONCE per JVM with the identical
+  * md5 recipe (first hex digit of md5("plane<p>|<dim>") ≥ 8 → +1 else
+  * −1) and runs a fused multiply-accumulate loop per plane, staying
+  * inside whole-stage codegen. Numeric semantics are unchanged — each
+  * float widens to double before the multiply, accumulation is
+  * left-to-right from 0.0 — so buckets are bit-identical to the old
+  * formulation and to the DuckDB oracle.
+  */
+case class FloatLshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("float_lsh_bucket expects an array<float> column")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LshExpressions.evalBucket(input.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.LshExpressions.evalBucket($c, $nPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): FloatLshBucket =
+    copy(child = newChild)
+}
+
+object LshExpressions {
+
+  /** Hyperplane dimensionality — fixed at the embedding width used by
+    * the original declarative form (`sequence(0, 63)`). */
+  val Dims = 64
+
+  /** Sign matrices cached per plane count, flat row-major
+    * [plane * Dims + dim]. Computed once per JVM: the old plan paid
+    * this md5 cost per ROW. */
+  private val signCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  /** +1/−1 from the first hex digit of md5("plane<p>|<dim>") — the
+    * exact recipe the declarative `planeSign` used, so buckets (and
+    * the DuckDB oracle) are unchanged. */
+  def signs(nPlanes: Int): Array[Double] =
+    signCache.computeIfAbsent(nPlanes, np => {
+      val out = new Array[Double](np * Dims)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var p = 0
+      while (p < np) {
+        var i = 0
+        while (i < Dims) {
+          md.reset()
+          val digest = md.digest(s"plane$p|$i".getBytes("UTF-8"))
+          val firstHexDigit = (digest(0) >> 4) & 0xf
+          out(p * Dims + i) = if (firstHexDigit >= 8) 1.0 else -1.0
+          i += 1
+        }
+        p += 1
+      }
+      out
+    })
+
+  /** Static entry point invoked from generated code. */
+  def evalBucket(arr: ArrayData, nPlanes: Int): Int = {
+    val s = signs(nPlanes)
+    val n = math.min(arr.numElements(), Dims)
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * Dims
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += arr.getFloat(i).toDouble * s(base + i)
+        i += 1
+      }
+      if (acc > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Column API: LSH bucket of an array<float> embedding (requires
+    * UrlExpressions.register on the session). */
+  def float_lsh_bucket(embedding: Column, nPlanes: Int): Column =
+    call_function("float_lsh_bucket", embedding, org.apache.spark.sql.functions.lit(nPlanes))
+}

@@ -36,6 +36,15 @@ object UrlExpressions {
       "origin_of", exprs => OriginOf(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "float_lsh_bucket", exprs => {
+        val nPlanes = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"float_lsh_bucket plane count must be an int literal, got $other")
+        }
+        FloatLshBucket(exprs(0), nPlanes)
+      }, "built-in")
   }
 
   /** Column API: host of an absolute URL (requires register()). */

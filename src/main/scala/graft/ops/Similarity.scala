@@ -93,27 +93,15 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
-  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
-    * +1/-1 from one md5 hex digit — portable to any engine. */
-  private def planeSign(plane: Int, dim: Column): Column = {
-    val h = md5(concat(lit(s"plane$plane|"), dim.cast("string")))
-    when(conv(substring(h, 1, 1), 16, 10).cast("int") >= 8, 1.0).otherwise(-1.0)
-  }
-
-  /** Random-hyperplane LSH bucket signature: bit p = sign(Σ_i s_pi x_i).
-    * `nPlanes` bits → one int bucket. Scan-side scalar computation. */
-  def lshBucket(embedding: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(
-          embedding,
-          transform(sequence(lit(0), lit(63)), i => planeSign(p, i)),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, 1 << p).otherwise(0): Column
-    }
-    bits.reduce(_ + _)
-  }
+  /** Random-hyperplane LSH bucket signature: bit p = sign(Σ_i s_pi x_i),
+    * `nPlanes` bits → one int bucket. Scan-side scalar computation via
+    * the codegen'd [[graft.expressions.FloatLshBucket]] kernel: the
+    * ±1 signs (first hex digit of md5("plane<p>|<dim>") ≥ 8) are
+    * computed once per JVM, not per row — the old declarative form
+    * evaluated 512 md5s per embedding row because Catalyst does not
+    * constant-fold inside higher-order-function lambdas. */
+  def lshBucket(embedding: Column, nPlanes: Int): Column =
+    graft.expressions.LshExpressions.float_lsh_bucket(embedding, nPlanes)
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket,
     * then exact cosine top-k within it. Sub-linear candidate volume at
