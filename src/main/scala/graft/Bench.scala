@@ -56,6 +56,58 @@ object Bench {
     (r, sec, 100.0 * (s1 - s0) / dt, 100.0 * (b1 - b0) / dt, (g1 - g0) / 1e3)
   }
 
+  /** Steal-gate a bench section so the COMMITTED artifact carries a
+    * defensible number: this box is a shared VM whose host throttles in
+    * multi-minute windows (steal spikes to ~30-40%), and a section
+    * measured inside one reports 2-4× degraded throughput that reads as
+    * a code regression round-over-round. Re-run the section while its
+    * measurement window shows > `thresholdPct` steal (up to `maxTries`),
+    * keep the try with the best `primary` metric, and record the kept
+    * try's steal + the try count — the artifact then defends its own
+    * context instead of needing side evidence. Sections that track
+    * their own per-pass steal (key `<name>_steal_pct`) are gated on
+    * that; others on the whole-window /proc/stat delta. */
+  def retryOnSteal(name: String, primary: String, maxTries: Int,
+      thresholdPct: Double = 5.0)(section: => Map[String, Double]): Map[String, Double] = {
+    var best: Map[String, Double] = null
+    var bestSteal = 0.0
+    var tries = 0
+    var clean = false
+    while (tries < maxTries && !clean) {
+      val (m, _, windowSteal, _, _) = timedWithSteal(section)
+      val steal = m.getOrElse(s"${name}_steal_pct", windowSteal)
+      tries += 1
+      if (best == null || m(primary) > best(primary)) { best = m; bestSteal = steal }
+      clean = steal <= thresholdPct
+    }
+    best ++ Map(
+      s"${name}_kept_steal_pct" -> bestSteal,
+      s"${name}_tries" -> tries.toDouble)
+  }
+
+  /** Accumulates executor shuffle bytes written across completed stages
+    * — a STEAL-PROOF unit for comparing dedup paths (host throttling
+    * stretches seconds but cannot change how many bytes a plan moves). */
+  private final class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListener {
+    val written = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+    /** Listener events are delivered async; poll until the counter is
+      * quiet so a snapshot covers the job that just finished. */
+    def settled(): Long = {
+      var prev = -1L
+      var v = written.get()
+      var waited = 0
+      while (v != prev && waited < 2000) {
+        prev = v; Thread.sleep(100); waited += 100; v = written.get()
+      }
+      v
+    }
+  }
+
   def crawlBench(spark: SparkSession, nCats: Int, nHosts: Int): Map[String, Double] = {
     val spec = WebSpec(
       nCats = nCats, nArticles = nCats * 2, nHosts = nHosts,
@@ -175,27 +227,70 @@ object Bench {
       .select(url(col("id")).as("url"))
     val bloom = seen.stat.bloomFilter("url", nSeen.toLong, 0.01)
 
-    def best2(body: => Long): (Long, Double, Double) = {
-      val runs = (1 to 2).map { _ => timedWithSteal(body) }
-      val r = runs.minBy(_._2)
-      (r._1, r._2, r._3)
+    // shuffle BYTES are the steal-proof comparison unit: wall seconds
+    // under host throttling can invert the exact-vs-bloom verdict (seen
+    // in committed r2 artifacts), but the bytes a plan shuffles are a
+    // property of the plan, not the window
+    val listener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    def measured(body: => Long): (Long, Double, Double, Long) = {
+      val w0 = listener.settled()
+      val (n, sec, steal, _, _) = timedWithSteal(body)
+      (n, sec, steal, listener.settled() - w0)
     }
-    // warm-up (JIT + parquet footer cache), then measure both paths
-    cand.join(seen, Seq("url"), "left_anti").count()
-    val (nExact, exactSec, exactSteal) =
-      best2(cand.join(seen, Seq("url"), "left_anti").count())
-    val (nBloom, bloomSec, bloomSteal) = best2(
-      FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"), Some(bloom)).count())
+    def exactBody: Long = cand.join(seen, Seq("url"), "left_anti").count()
+    def bloomBody: Long =
+      FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"), Some(bloom)).count()
+    // warm-up (JIT + parquet footer cache), then ≥5 INTERLEAVED trials
+    // per path: interleaving means a throttle window degrades both
+    // paths rather than silently biasing whichever ran inside it
+    exactBody; bloomBody
+    val trials = (1 to 5).map { _ => (measured(exactBody), measured(bloomBody)) }
+    val (nExact, exactSec, exactSteal, exactBytes) = trials.map(_._1).minBy(_._2)
+    val (nBloom, bloomSec, bloomSteal, bloomBytes) = trials.map(_._2).minBy(_._2)
+    spark.sparkContext.removeSparkListener(listener)
     require(nExact == nBloom, s"bloom path changed the result: $nExact vs $nBloom")
     Map(
       "dedup_seen_rows" -> nSeen.toDouble,
       "dedup_cand_rows" -> nCand.toDouble,
+      "dedup_trials_per_path" -> trials.length.toDouble,
       "dedup_exact_sec" -> exactSec,
       "dedup_exact_rows_per_sec" -> nCand / exactSec,
+      "dedup_exact_shuffle_mb" -> exactBytes / 1e6,
       "dedup_bloom_sec" -> bloomSec,
       "dedup_bloom_rows_per_sec" -> nCand / bloomSec,
+      "dedup_bloom_shuffle_mb" -> bloomBytes / 1e6,
       "dedup_steal_pct" -> math.max(exactSteal, bloomSteal),
       "dedup_unseen_rows" -> nExact.toDouble
+    )
+  }
+
+  /** Candidate-volume evidence for the prefix-filtered Jaccard join
+    * (deterministic counts — steal can't touch them): join-row volume
+    * of the naive inverted-index self-join (Σ_s C(df_s,2), the pair
+    * blow-up a hot shingle causes) vs the same formula over the
+    * frequency-ordered prefixes actually indexed, plus the surviving
+    * candidate pairs. */
+  def jaccardBench(spark: SparkSession, sfDir: String, threshold: Double = 0.8): Map[String, Double] = {
+    import org.apache.spark.sql.functions.{count => fcount, sum}
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels.shingles3(t).map(s => (id, s)) }
+      .toDF("doc_id", "s")
+    def joinRows(t: org.apache.spark.sql.DataFrame): Double =
+      t.groupBy("s").agg(fcount(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1) / 2)).as[Double].head()
+    val naive = joinRows(sh)
+    val prefix = joinRows(
+      graft.ops.TextDedup.jaccardPrefixIndex(docs, threshold).select("doc_id", "s"))
+    val candPairs = graft.ops.TextDedup.jaccardCandidatePairs(docs, threshold).count()
+    Map(
+      "jaccard_naive_join_rows" -> naive,
+      "jaccard_prefix_join_rows" -> prefix,
+      "jaccard_candidate_pairs" -> candPairs.toDouble
     )
   }
 
@@ -274,16 +369,29 @@ object Bench {
     val warm = w1.map { case (name, v) => name -> math.min(v, w2(name)) }
 
     // stage bench first: the scaling-efficiency metric runs on a quiet
-    // JVM before the long BFS loads the heap
-    val crawl = stageBench(spark,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "100000").toInt) ++
-      politeBench(spark,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_URLS", "40000").toInt,
-        nHosts = 256, rps = 20.0) ++
-      dedupBench(spark,
-        nSeen = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_SEEN", "10000000").toInt,
-        nCand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_CAND", "10000000").toInt) ++
-      crawlBench(spark, crawlCats, nHosts = 32)
+    // JVM before the long BFS loads the heap. Every section is
+    // steal-gated (retryOnSteal) so the committed artifact's headline
+    // numbers are from clean windows — or carry their steal context
+    // when the host never offered one.
+    val crawl =
+      retryOnSteal("stage", "stage_urls_per_sec", maxTries = 3) {
+        stageBench(spark,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "100000").toInt)
+      } ++
+      retryOnSteal("polite", "polite_efficiency_vs_floor", maxTries = 3) {
+        politeBench(spark,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_POLITE_URLS", "40000").toInt,
+          nHosts = 256, rps = 20.0)
+      } ++
+      retryOnSteal("dedup", "dedup_bloom_rows_per_sec", maxTries = 2) {
+        dedupBench(spark,
+          nSeen = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_SEEN", "10000000").toInt,
+          nCand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_CAND", "10000000").toInt)
+      } ++
+      jaccardBench(spark, sfDir) ++
+      retryOnSteal("crawl", "crawl_urls_per_sec", maxTries = 2) {
+        crawlBench(spark, crawlCats, nHosts = 32)
+      }
 
     val qs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }

@@ -30,9 +30,9 @@ object SparkEntry {
     "q_agg" -> ((s, d) => Relational.groupedAgg(lineitem(s, d))),
     "q_filter_project" -> ((s, d) => Relational.filterProject(lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinctByKey(lineitem(s, d))),
-    // no oracleSql entry (HLL sketches differ across engines) → the
-    // driver records its weaker rows-only check; a spec pins accuracy
-    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctByKey(lineitem(s, d))),
+    // HLL sketches differ across engines, so the query emits exact
+    // counts + Spark-side within-5% booleans — fully hash-comparable
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctChecked(lineitem(s, d))),
     "q_group_first" -> ((s, d) => Relational.groupFirst(orders(s, d))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(customer(s, d), orders(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(part(s, d), lineitem(s, d))),
@@ -115,6 +115,13 @@ object SparkEntry {
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts_exact,
+         count(DISTINCT l_suppkey) AS n_supps_exact,
+         true AS parts_within_5pct,
+         true AS supps_within_5pct
          FROM lineitem GROUP BY l_returnflag""",
     "q_group_first" ->
       """SELECT o_custkey, min(o_orderdate) AS first_order, count(*) AS n_orders

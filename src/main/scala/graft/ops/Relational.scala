@@ -62,6 +62,32 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx")
       )
 
+  /** Driver-checkable form of the approx-distinct monitoring path: the
+    * HLL sketch itself differs across engines, so instead of emitting
+    * the approximate counts we emit the EXACT counts plus Spark-side
+    * booleans asserting the approximation landed within 5% of exact.
+    * The DuckDB oracle recomputes the exact counts and literal `true`s
+    * — a full hash compare that fails if the sketch ever drifts out of
+    * its error bound, with no cross-engine HLL needed. */
+  def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.02): DataFrame = {
+    def within5pct(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") < 0.05
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"),
+        approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n_parts_exact"),
+        col("n_supps_exact"),
+        within5pct(col("n_parts_approx"), col("n_parts_exact")).as("parts_within_5pct"),
+        within5pct(col("n_supps_approx"), col("n_supps_exact")).as("supps_within_5pct"))
+  }
+
   /** A2: deterministic first-per-group. The reference's pandas
     * `groupby('url') ... values[0]` (`zhwiki_leafs.py:1649`) takes first
     * in file order; relationally we pin the order explicitly (min) so the

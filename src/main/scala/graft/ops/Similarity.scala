@@ -30,13 +30,35 @@ object Similarity {
     * `label` (the quantizer cell): at scale the label plays the role of
     * a coarse IVF centroid assignment — only same-cell pairs are
     * compared, so the join shuffles on label instead of exploding n². */
-  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(embeddings: DataFrame, threshold: Double, cellCap: Int = 4096): DataFrame = {
     val e = embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // Hot-cell cap: a label with m rows forms m²/2 pairs on ONE join
+    // key — at 100 TB a single hot IVF cell serializes the stage. Split
+    // each label into g = ⌈m / cellCap⌉ sub-cells (pmod of vec_id —
+    // deterministic) and run all-pairs as a block join: side A carries
+    // its sub-cell as block-row i and explodes block-column j over
+    // [0,g); side B carries its sub-cell as j and explodes i. An
+    // unordered pair (x,y) meets in exactly one block (c_x, c_y), so
+    // the output set is IDENTICAL to the plain within-label join while
+    // the hot cell's pairs spread over g² join keys (g² tasks instead
+    // of 1) and replicated input stays m·g = m²/cellCap ≪ m² pairs.
+    // Cold labels (m ≤ cellCap) get g = 1 — the plan degenerates to
+    // the plain label join with one broadcast count lookup added.
+    val cellsOf = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .select(col("label"),
+        ceil(col("cnt").cast("double") / cellCap).cast("int").as("g"))
+    val cells = e.join(broadcast(cellsOf), "label")
+      .withColumn("c", pmod(col("vec_id"), col("g")).cast("int"))
+    val blockIdx = sequence(lit(0), col("g") - 1)
+    val a = cells.withColumnRenamed("c", "i").withColumn("j", explode(blockIdx))
+    val b = cells.withColumnRenamed("c", "j").withColumn("i", explode(blockIdx))
+    a.as("a")
+      .join(b.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)

@@ -136,20 +136,40 @@ object TextDedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted shingle index:
-    * explode distinct shingles, self-join on shingle, count
-    * intersections, filter on |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
-    * Complete (no LSH false negatives); the shuffle key is the shingle.
+  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING
+    * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): complete — no LSH
+    * false negatives — but without indexing every (doc, shingle) pair
+    * on both join sides.
     *
-    * Single-pass shape: the flatMap emits each doc's shingle COUNT on
-    * every row, so no separate `sizes` groupBy (which shuffled on a
-    * different key and re-ran the shingling a third time); the
-    * merge-hinted self-join shares one Exchange (ReuseExchange — see
-    * minhashCandidatePairs), so the shingling runs exactly once.
-    * Length pruning in the join condition: J(a,b) ≤ min(na,nb)/max(na,nb),
-    * so any pair with min < t·max can never reach the threshold — pruned
-    * before the intersection groupBy, no result change. */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    * Why: the plain inverted-index self-join shuffles on the shingle,
+    * and a hot shingle (a stopword 3-gram shared by 10^6 docs) emits
+    * 10^12 candidate rows before the intersection groupBy — AQE splits
+    * the shuffle partition but not the pair blow-up. Prefix filtering
+    * is the provably-lossless fix:
+    *
+    *  1. canonical global shingle order = ascending document frequency
+    *     (tie-break on the shingle itself) — hot shingles sort LAST;
+    *  2. each doc indexes only its first p = n − ⌈t·n⌉ + 1 shingles in
+    *     that order. For J(a,b) ≥ t the required overlap is
+    *     α = ⌈t/(1+t)·(na+nb)⌉ ≥ ⌈t·nx⌉ for both sides (given the
+    *     min ≥ t·max length filter), and any pair with overlap ≥ α
+    *     must collide inside both prefixes (two-sided prefix
+    *     principle) — so joining prefix×prefix loses nothing;
+    *  3. candidates (a tiny set once hot shingles are out of every
+    *     prefix) are verified EXACTLY against the full per-doc shingle
+    *     sets via array_intersect.
+    *
+    * The df pass is a map-side-combined count (hot keys harmless in an
+    * agg); the only pair-producing join runs over prefixes, where a
+    * frequency-ordered hot shingle essentially never appears. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardCandidates(documents,
+      jaccardCandidatePairs(documents, threshold), threshold)
+
+  /** The frequency-ordered prefix index: (doc_id, s, n) rows for the
+    * first n − ⌈t·n⌉ + 1 shingles of each doc in (df asc, s asc) order
+    * — the only rows the candidate join ever sees. */
+  def jaccardPrefixIndex(documents: DataFrame, threshold: Double): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val sh = documents
@@ -161,15 +181,51 @@ object TextDedup {
         ss.map(s => (id, s, n))
       }
       .toDF("doc_id", "s", "n")
-    sh.as("a").hint("merge")
-      .join(sh.as("b").hint("merge"),
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    // the 1e-9 guards float rounding UP of an exact integer t·n, which
+    // would shrink the prefix below the lossless length
+    sh.join(df, "s")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs from the two-sided prefix join —
+    * split out so the bench can count candidates before verification. */
+  def jaccardCandidatePairs(documents: DataFrame, threshold: Double): DataFrame = {
+    val prefix = jaccardPrefixIndex(documents, threshold)
+    prefix.as("a")
+      .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * threshold <= col("b.n") &&
-          col("b.n") * threshold <= col("a.n"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+          col("a.n") * threshold - lit(1e-9) <= col("b.n") &&
+          col("b.n") * threshold - lit(1e-9) <= col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs: join back the full distinct
+    * shingle sets (one typed pass per doc) and intersect. Candidates
+    * are few post-pruning, so carrying the arrays through the join is
+    * cheap; values are identical to the full inverted-index formula. */
+  private def verifyJaccardCandidates(
+      documents: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val arrs = documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, graft.functions.TextKernels.shingles3(t)) }
+      .toDF("doc_id", "sh")
+    cands
+      .join(arrs.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(arrs.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .withColumn("c", size(array_intersect(col("fa.sh"), col("fb.sh"))))
       .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        col("c").cast("double") /
+          (size(col("fa.sh")) + size(col("fb.sh")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

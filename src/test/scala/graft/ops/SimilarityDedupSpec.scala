@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-path identities for the similarity/dedup ops: each optimized
+  * plan (hot-cell block join, prefix-filtered Jaccard, per-JVM LSH sign
+  * matrix) must produce byte-identical results to its naive
+  * formulation — the optimizations change partitioning and candidate
+  * volume, never output.
+  */
+class SimilarityDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings = {
+    // one HOT label (0: 60 rows) + cold labels; deterministic vectors
+    val rows = (0L until 100L).map { id =>
+      val label = if (id < 60) 0L else id % 5 + 1
+      val vec = Array.tabulate(8)(i =>
+        (math.sin(id * 31 + i * 7) + (if (i == (id % 8).toInt) 2.0 else 0.0)).toFloat)
+      (id, label, vec)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("cosinePairs: hot-label block join ≡ plain within-label join") {
+    val blocked = Similarity.cosinePairs(embeddings, 0.3, cellCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Similarity.cosinePairs(embeddings, 0.3, cellCap = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.nonEmpty)
+    assert(blocked == plain)
+    // hot label forces g = ceil(60/8) = 8 sub-cells; a cross-sub-cell
+    // pair must exist in the output for the block scheme to be exercised
+    val g = 8
+    assert(blocked.exists { case (a, b, _) => a < 60 && b < 60 && a % g != b % g })
+  }
+
+  test("ngramJaccardPairs: prefix-filtered join ≡ naive all-pairs Jaccard") {
+    val docs = Seq(
+      // near-dup cluster sharing a hot shingle run
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      // hot stopword shingle "a b c" shared by many unrelated docs
+      (4L, "a b c x1 y1 z1 w1"),
+      (5L, "a b c x2 y2 z2 w2"),
+      (6L, "a b c x3 y3 z3 w3"),
+      (7L, "a b c x4 y4 z4 w4"),
+      (8L, "completely different text with nothing shared here at all"),
+      (9L, "completely different text with nothing shared here at all"),
+      (10L, "short doc")
+    ).toDF("doc_id", "text")
+    val threshold = 0.5
+    val got = TextDedup.ngramJaccardPairs(docs, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // naive oracle: exact Jaccard over all doc pairs in plain Scala
+    val sets = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> graft.functions.TextKernels.shingles3(t).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= threshold
+    } yield (ia, ib, math.round(j * 10000) / 10000.0)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+
+    // the hot shingle must not inflate candidates: 4..7 pairwise share
+    // only "a b c" (J = 1/11 < t), so none of those 6 pairs may appear
+    assert(!got.exists { case (a, b, _) => a >= 4 && a <= 7 && b >= 4 && b <= 7 })
+  }
+
+  test("jaccardCandidatePairs: prefix filter prunes hot-shingle pairs but keeps all matches") {
+    val docs = ((1L to 40L).map(i => (i, s"a b c unique$i only$i words$i here$i")) ++
+      Seq((100L, "x y z p q r s t u v"), (101L, "x y z p q r s t u v extra"))
+      ).toDF("doc_id", "text")
+    val cands = TextDedup.jaccardCandidatePairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true near-dup pair survives pruning
+    assert(cands.contains((100L, 101L)))
+    // the 40 docs sharing only hot "a b c" generate zero candidates:
+    // frequency-ascending order puts the hot shingle outside every
+    // prefix (p = 8 − ⌈0.8·8⌉ + 1 = 2 of 8 shingles)
+    assert(!cands.exists { case (a, b) => a <= 40 && b <= 40 })
+  }
+
+  test("FloatLshBucket kernel ≡ declarative md5 plane-sign formulation") {
+    val df = embeddings.limit(20)
+      .withColumn("emb64",
+        concat(col("embedding"),
+          array_repeat(lit(0.0f), 56)).cast("array<float>"))
+    def planeSignDecl(plane: Int, dim: org.apache.spark.sql.Column) = {
+      val h = md5(concat(lit(s"plane$plane|"), dim.cast("string")))
+      when(conv(substring(h, 1, 1), 16, 10).cast("int") >= 8, 1.0).otherwise(-1.0)
+    }
+    val declBucket = (0 until 8).map { p =>
+      val proj = aggregate(
+        zip_with(col("emb64"),
+          transform(sequence(lit(0), lit(63)), i => planeSignDecl(p, i)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1 << p).otherwise(0): org.apache.spark.sql.Column
+    }.reduce(_ + _)
+    val rows = df.select(
+      Similarity.lshBucket(col("emb64"), 8).as("kernel"),
+      declBucket.as("decl")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+}
