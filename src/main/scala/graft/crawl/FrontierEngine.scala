@@ -66,6 +66,14 @@ final case class CrawlConfig(
     // compaction). Applied via repartition (not coalesce) so the
     // upstream join/window parallelism is unaffected.
     appendFiles: Int = 4,
+    // state-table compaction cadence: every `compactEvery` supersteps
+    // the frontier/seen/metrics tables are rewritten to files of
+    // ~`compactTargetBytes` (IceLite.compact). appendFiles bounds
+    // per-commit growth; compaction bounds LIFETIME growth — a
+    // 10^3-superstep crawl stays at O(total/target) files instead of
+    // 4×10^3. 0 disables.
+    compactEvery: Int = 64,
+    compactTargetBytes: Long = 128L << 20,
     // leaf-pipeline epoch commit granularity (ST2/S9): the reference
     // commits every THREADS*4=128 items; scaled to the distributed
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
@@ -438,6 +446,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       pending = nq
       k += 1
       steps += 1
+      // compaction AFTER the queue overwrite (the superstep's commit
+      // point): a crash mid-compaction can only orphan data files, and
+      // resume re-reads identical content from the compacted snapshot
+      if (cfg.compactEvery > 0 && k % cfg.compactEvery == 0) {
+        frontier.compact(cfg.compactTargetBytes, s"compact k=$k")
+        seen.compact(cfg.compactTargetBytes, s"compact k=$k")
+        metrics.compact(cfg.compactTargetBytes, s"compact k=$k")
+      }
     }
     steps
   }

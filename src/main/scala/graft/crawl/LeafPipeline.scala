@@ -59,6 +59,26 @@ object LeafPipeline {
       .dropDuplicates()
       .select("url", "title")
       .dropDuplicates()
+
+  /** Priority work list (`get_pri_leaves`, `zhwiki_leafs.py:1723-1748`):
+    * the reference crawls 34 NAMED per-category CSVs before everything
+    * else. Rebuilt as a priority column over the frontier: a leaf
+    * reachable from any category url in `priCats` gets priority 0,
+    * everything else 1 — `run` orders epochs by (priority, url, title),
+    * so priority items are fetched and committed in the earliest
+    * epochs. Same dedup semantics as [[workList]] (full-row distinct,
+    * then per-(url,title)). */
+  def priorityWorkList(frontier: DataFrame, priCats: Set[String]): DataFrame = {
+    val isPri =
+      if (priCats.isEmpty) lit(false)
+      else col("pre_url").isInCollection(priCats.toSeq)
+    frontier
+      .filter(col("isleaf") === 1)
+      .select("url", "title", "pre_url", "isleaf")
+      .dropDuplicates()
+      .groupBy("url", "title")
+      .agg(min(when(isPri, 0).otherwise(1)).as("priority"))
+  }
 }
 
 final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig) {
@@ -84,6 +104,29 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
   private def crawledKey(title: org.apache.spark.sql.Column) =
     replace(replace(title, lit(":"), lit("-")), lit("/"), lit("--"))
 
+  /** Crash-consistency for the docs↔metrics commit pair: each epoch
+    * commits docs THEN its metrics rows; a crash between the two
+    * leaves the final docs commit un-metered forever (resume's
+    * anti-join skips the committed rows, so they are never re-parsed
+    * and re-metered — the metrics-sum ≡ docs-count invariant would
+    * break permanently). On run start, backfill one aggregate metrics
+    * row (partition = −1 marks a backfill, per-partition detail is
+    * unrecoverable without a refetch) per un-metered docs commit,
+    * pairing commits by order and taking the count from the docs
+    * commit's lineage. */
+  private def reconcileMetrics(): Unit = {
+    val docsCommits = (1 to docs.currentVersion).map(docs.lineageAt)
+      .filter(_.startsWith("leafs epoch="))
+    val nMetric = (1 to leafMetrics.currentVersion).map(leafMetrics.lineageAt)
+      .count(_.startsWith("leaf_metrics epoch="))
+    docsCommits.drop(nMetric).foreach { lin =>
+      val ep = lin.stripPrefix("leafs epoch=").takeWhile(_ != ' ').toInt
+      val n = lin.split("n=").last.trim.toLong
+      leafMetrics.append(Seq((ep, -1, n)).toDF("epoch", "partition", "parsed"),
+        s"leaf_metrics epoch=$ep backfill", coalesceTo = 1)
+    }
+  }
+
   /** Crawl all articles in `work` (url, title) not yet in docs, in
     * seq-ordered EPOCHS with one atomic docs-table commit per epoch
     * (ST2/S9, `zhwiki_leafs.py:70-88`: the reference commits every
@@ -93,18 +136,36 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     * `maxEpochs` caps the epochs processed this call (tests use it to
     * simulate a mid-list kill). Returns docs parsed this call. */
   def run(work: DataFrame, maxEpochs: Int = Int.MaxValue): Long = {
+    reconcileMetrics()
     val pending =
       if (docs.isEmpty) work
       else work.join(
         docs.read().select(crawledKey(col("title")).as("__ck")).distinct(),
         crawledKey(work("title")) === col("__ck"), "left_anti")
 
+    // optional priority column (get_pri_leaves analog): priority items
+    // sort first so they land in the earliest epochs
+    val hasPri = work.columns.contains("priority")
+    val ordCols =
+      if (hasPri) Seq(col("priority"), col("url"), col("title"))
+      else Seq(col("url"), col("title"))
+    // intra-run F4 fidelity: the reference checks the crawled key per
+    // item sequentially IN WORK ORDER, so of two same-run items whose
+    // titles sanitize to the same directory only the first is fetched
+    // (the r2 build reproduced the quirk only across runs)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(crawledKey(col("title"))).orderBy(ordCols: _*)
+
     // deterministic work order → seq via sorted zipWithIndex (two narrow
     // passes, no single-partition window); persisted so the per-epoch
     // range filters don't recompute the anti-join
     val seqd = pending
+      .select(col("url") +: col("title") +:
+        (if (hasPri) Seq(col("priority")) else Nil): _*)
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") === 1)
+      .orderBy(ordCols: _*)
       .select("url", "title")
-      .orderBy("url", "title")
       .as[(String, String)]
       .rdd.zipWithIndex()
       .map { case ((url, title), i) => (url, title, i) }

@@ -43,14 +43,14 @@ object TextNorm {
       main: collection.mutable.LinkedHashMap[String, V],
       add: collection.Map[String, V]
   ): collection.mutable.LinkedHashMap[String, V] = {
-    if (main.isEmpty) {
-      val m = collection.mutable.LinkedHashMap.empty[String, V]
-      add.foreach { case (k, v) => m(k) = v }
-      m
-    } else {
-      add.foreach { case (k, v) => main(checkRepeatKey(k, main.keySet)) = v }
-      main
-    }
+    // mutate `main` in BOTH branches (the reference returns `add_dict`
+    // itself when main is empty, but call sites that discard the return
+    // — e.g. the nested-table infobox merge — would then silently drop
+    // the merge; copying into main is content-identical for empty main
+    // and makes the discarded-return pattern safe)
+    if (main.isEmpty) add.foreach { case (k, v) => main(k) = v }
+    else add.foreach { case (k, v) => main(checkRepeatKey(k, main.keySet)) = v }
+    main
   }
 
   /** Traditional→Simplified Chinese mapping (reference uses the

@@ -77,6 +77,38 @@ final class IceLite(spark: SparkSession, dir: String) {
     commit(v, newFiles, lineage)
   }
 
+  /** Compaction: rewrite the CURRENT snapshot into files of
+    * ~`targetFileBytes` and commit the rewritten list as a new version.
+    * Content is unchanged — only the physical file list — so readers of
+    * any version and crash-resume semantics are unaffected (prior
+    * versions' files stay on disk; a crash mid-compaction leaves only
+    * orphan data files, never a broken manifest). Bounds the
+    * supersteps × appendFiles file growth of long crawls: without it a
+    * 10^5-superstep run accumulates ~4×10^5 manifest entries and state
+    * re-reads go metadata-bound. No-ops (returns the current version)
+    * when the table is already within 2× of the target file count.
+    *
+    * Uses repartition, not coalesce: the rewrite reads with full
+    * parallelism and shuffles down, instead of serializing the read
+    * onto `nOut` tasks — at 10^10-row state-table scale the read is
+    * the cost. */
+  def compact(targetFileBytes: Long, lineage: String = "compact"): Int = {
+    val v = currentVersion
+    val fs = filesAt(v)
+    if (fs.isEmpty) return v
+    val totalBytes = fs.map(f => Files.size(Paths.get(f))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (fs.length <= 2 * nOut) return v
+    val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
+    spark.read.parquet(fs: _*).repartition(nOut).write.parquet(deltaDir.toString)
+    val newFiles = Files.list(deltaDir).iterator.asScala
+      .map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .toSeq
+      .sorted
+    commit(v, newFiles, lineage)
+  }
+
   private def commit(prevV: Int, files: Seq[String], lineage: String): Int = {
     val v = prevV + 1
     val body = (lineage +: files).mkString("\n")

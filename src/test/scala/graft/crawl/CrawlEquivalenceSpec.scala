@@ -63,6 +63,14 @@ class CrawlEquivalenceSpec extends SparkSpec {
       c => c.copy(useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1))
   }
 
+  test("engine ≡ oracle with aggressive state compaction mid-crawl") {
+    // compact frontier/seen/metrics every 2 supersteps: content-neutral
+    // by construction, but this pins the resume/stableVersion machinery
+    // against compaction commits interleaving with superstep appends
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60),
+      c => c.copy(compactEvery = 2, compactTargetBytes = 1L << 20))
+  }
+
   test("parallelism invariance: same result at 2 fetch partitions") {
     engineVsSim(WebSpec(nCats = 30, nArticles = 40),
       c => c.copy(fetchPartitions = 2))

@@ -112,6 +112,75 @@ class LeafPipelineSpec extends SparkSpec {
     assert(lp.run(w1) == 0)
   }
 
+  test("priority work list commits priority categories in the earliest epochs") {
+    import org.apache.spark.sql.functions.col
+    val store = new PageStore(spec)
+    val cfg = CrawlConfig(workDir = tmpDir("leaf_pri"), useBloom = false, leafEpochSize = 2)
+    val fe = new FrontierEngine(spark, store, cfg)
+    fe.run()
+    val frontier = fe.frontier.read()
+    val priCat = store.catUrl(3)
+    val work = LeafPipeline.priorityWorkList(frontier, Set(priCat))
+    val priUrls = work.filter(col("priority") === 0)
+      .select("url").as[String].collect().toSet
+    assert(priUrls.size >= 2, s"need ≥2 priority items, got ${priUrls.size}")
+    assert(work.filter(col("priority") === 1).count() > 0)
+
+    // first epoch only: every committed doc must be a priority item
+    val lp = new LeafPipeline(spark, store, cfg)
+    val n1 = lp.run(work, maxEpochs = 1)
+    assert(n1 > 0)
+    val committed = lp.docs.read().select("doc_id").as[String].collect().toSet
+    assert(committed.subsetOf(priUrls),
+      s"non-priority docs in epoch 0: ${committed -- priUrls}")
+
+    // completing the run covers exactly the plain work list
+    lp.run(work)
+    val all = lp.docs.read().select("doc_id").distinct().count()
+    val ref = {
+      val cfgRef = cfg.copy(workDir = tmpDir("leaf_pri_ref"))
+      new LeafPipeline(spark, store, cfgRef).run(LeafPipeline.workList(frontier))
+    }
+    assert(all == ref)
+  }
+
+  test("F4 intra-run: same-run colliding sanitized titles fetch only the first in work order") {
+    val store = new PageStore(spec)
+    val cfg = CrawlConfig(workDir = tmpDir("leaf_key2"), useBloom = false)
+    val lp = new LeafPipeline(spark, store, cfg)
+    val (u1, u2) = (store.articleUrl(0, 1), store.articleUrl(0, 2))
+    val w = Seq((u1, "A1:x"), (u2, "A1-x")).toDF("url", "title")
+    assert(lp.run(w) == 1, "one of the colliding pair must be skipped within the run")
+    val winner = lp.docs.read().select("doc_id").as[String].collect().toSeq
+    assert(winner == Seq(Seq(u1, u2).min), "first in canonical work order wins")
+  }
+
+  test("metrics backfill: a docs commit orphaned by a crash is re-metered on resume") {
+    import org.apache.spark.sql.functions.sum
+    val store = new PageStore(spec)
+    val cfg = CrawlConfig(workDir = tmpDir("leaf_rec"), useBloom = false, leafEpochSize = 4)
+    val fe = new FrontierEngine(spark, store, cfg)
+    fe.run()
+    val work = LeafPipeline.workList(fe.frontier.read())
+    val lp = new LeafPipeline(spark, store, cfg)
+    lp.run(work, maxEpochs = 1)
+
+    // simulate a crash BETWEEN the docs append and its metrics append:
+    // a docs commit exists whose metrics rows were never written
+    lp.docs.append(lp.docs.read().limit(3), "leafs epoch=99 n=3", coalesceTo = 1)
+
+    // any subsequent run first reconciles: one aggregate backfill row
+    val lp2 = new LeafPipeline(spark, store, cfg)
+    lp2.run(work, maxEpochs = 0)
+    val backfill = lp2.leafMetrics.read()
+      .filter(org.apache.spark.sql.functions.col("partition") === -1)
+      .select("epoch", "parsed").as[(Int, Long)].collect().toSeq
+    assert(backfill == Seq((99, 3L)))
+    // sum invariant holds again: metrics total == docs rows
+    val mSum = lp2.leafMetrics.read().agg(sum("parsed")).as[Long].head()
+    assert(mSum == lp2.docs.read().count())
+  }
+
   test("media stage: bytes fetched per distinct image, failures recorded") {
     val store = new PageStore(spec)
     val dir = tmpDir("leaf3")

@@ -17,8 +17,18 @@ for t in $(seq 1 "$TRIALS"); do
   # politeness leg is budget-bound (cannot scale by design): trial 1 only
   if [ "$t" -eq 1 ]; then SKIP=0; else SKIP=1; fi
   for c in "$N" "$N4"; do
-    SPARK_GRAFT_SKIP_POLITE=$SKIP sbt -batch "runMain graft.ScalingBench $c" 2>&1 \
-      | grep -a '"metric":"scaling_leg"' | sed 's/^\[info\] //' | tail -1 >> "$OUT"
+    LOG="$(mktemp)"
+    SPARK_GRAFT_SKIP_POLITE=$SKIP sbt -batch "runMain graft.ScalingBench $c" >"$LOG" 2>&1
+    # fail fast when a leg dies: a silently-missing line would otherwise
+    # surface later as an opaque empty-max() in the combiner
+    if ! grep -a '"metric":"scaling_leg"' "$LOG" | sed 's/^\[info\] //' | tail -1 >> "$OUT" \
+       || ! grep -aq '"metric":"scaling_leg"' "$LOG"; then
+      echo "FATAL: scaling leg cpus=$c trial=$t produced no scaling_leg line; sbt tail:" >&2
+      tail -20 "$LOG" >&2
+      rm -f "$LOG"
+      exit 1
+    fi
+    rm -f "$LOG"
   done
 done
 python3 - "$N" "$N4" "$OUT" <<'EOF'
