@@ -174,6 +174,21 @@ object FrontierEngine {
     * rows whose key the bloom has definitely never seen skip the join
     * shuffle; "might contain" rows go through the exact anti-join
     * (false positives must not drop rows). */
+  /** Column name of a pre-computed bloom probe (see mightContainCol):
+    * when the caller evaluates the probe BELOW its own exchange (e.g.
+    * the first-wins Window shuffle), both union branches here read the
+    * flag from the reused shuffle files instead of re-running the UDF
+    * and the pre-exchange subtree once per branch. */
+  val MightCol = "__might"
+
+  /** Bloom-probe column for `keys` against a broadcast bloom. */
+  def mightContainCol(
+      spark: SparkSession, b: BloomFilter, keys: Seq[String]): org.apache.spark.sql.Column = {
+    val bloomBc = spark.sparkContext.broadcast(b)
+    val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
+    mightContain(concat_ws(KeySep, keys.map(col): _*))
+  }
+
   def antiJoinWithBloom(
       spark: SparkSession,
       left: DataFrame,
@@ -181,13 +196,16 @@ object FrontierEngine {
       keys: Seq[String],
       bloom: Option[BloomFilter]
   ): DataFrame = bloom match {
-    case None => left.join(right, keys, "left_anti")
+    case None =>
+      (if (left.columns.contains(MightCol)) left.drop(MightCol) else left)
+        .join(right, keys, "left_anti")
     case Some(b) =>
-      val bloomBc = spark.sparkContext.broadcast(b)
-      val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
-      val keyCol = concat_ws(KeySep, keys.map(col): _*)
-      left.filter(!mightContain(keyCol))
-        .unionByName(left.filter(mightContain(keyCol)).join(right, keys, "left_anti"))
+      val flagged =
+        if (left.columns.contains(MightCol)) left
+        else left.withColumn(MightCol, mightContainCol(spark, b, keys))
+      flagged.filter(!col(MightCol)).drop(MightCol)
+        .unionByName(
+          flagged.filter(col(MightCol)).drop(MightCol).join(right, keys, "left_anti"))
   }
 
   def sectionTag(s: CategoryExtractor.Section): String = s match {
@@ -371,7 +389,18 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // ---- enqueue (queue/viewed semantics) ----
     val cand = links.filter(col("section") =!= "page")
     val w = Window.partitionBy(col("url")).orderBy(col("parent_seq"), col("emit_idx"))
-    val firstWins = cand
+    // bloom probe computed HERE, below the first-wins Window exchange:
+    // the anti-join's two branches then share the probed rows through
+    // the reused shuffle instead of re-running the UDF and the Window
+    // subtree once per branch (the probe is url-deterministic, so it
+    // commutes with first-wins row selection)
+    val candProbed = (if (bloomActive) seenBloom else None) match {
+      case Some(b) =>
+        cand.withColumn(FrontierEngine.MightCol,
+          FrontierEngine.mightContainCol(spark, b, Seq("url")))
+      case None => cand
+    }
+    val firstWins = candProbed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
