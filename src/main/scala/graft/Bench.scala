@@ -346,15 +346,29 @@ object Bench {
     // measured warm pass per query. Forced via a checksum over every
     // output column — a bare count() lets Catalyst prune scan-side
     // projections to nothing and measures an empty scan.
+    // checksum via bit_xor, NOT sum: Spark 4 runs ANSI mode by default
+    // and summing uniform 64-bit hashes overflows almost surely, which
+    // aborted the checksum's final stage early (swallowed by the catch
+    // below) — r1/r2 per-query warm numbers under-measured the final
+    // stage of every query because of exactly this. XOR cannot overflow
+    // and still forces every row of every column.
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{struct, sum, xxhash64, col}
-      df.select(sum(xxhash64(struct(df.columns.map(col): _*))).as("chk")).collect()
+      import org.apache.spark.sql.functions.{struct, xxhash64, col, expr}
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
       ()
     }
+    // a failing query must be VISIBLE in the artifact, not a silently
+    // fast timing: failures are collected and printed in the JSON
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def forceSafe(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try force(fn(spark, sfDir)) catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"[bench] query $name FAILED: ${t.getMessage}")
+      }
     val cold0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.foreach { case (name, fn) => forceSafe(name, fn) }
     val coldTotal = (System.nanoTime() - cold0) / 1e9
     // best-of-2 warm passes per query (same treatment as stageBench):
     // this box is a shared VM with spiky steal time, so a single warm
@@ -362,7 +376,7 @@ object Bench {
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        forceSafe(name, fn)
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (w1, w2) = (timedPass(), timedPass())
@@ -400,9 +414,11 @@ object Bench {
       .map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = coldTotal + crawl("crawl_sec") + warm.values.sum
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
         s""""queries":$qs,"crawl":$cs,"cpus":$cpus,""" +
+        s""""failed_queries":$failedJson,""" +
         s""""warm_queries_sec":${"%.3f".format(warm.values.sum)},""" +
         s""""cold_queries_sec":${"%.3f".format(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
