@@ -20,6 +20,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // bucketed-scan fallback heuristic OFF: with it on, Spark may
+      // silently plan the seen-mirror anti-join as a plain scan and
+      // re-gain the right-side Exchange+Sort the mirror exists to
+      // remove (measured in graft.BucketProbe)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -109,6 +109,15 @@ final class IceLite(spark: SparkSession, dir: String) {
     commit(v, newFiles, lineage)
   }
 
+  /** Commit an externally-written file list as the table's new FULL
+    * content (no data write here — the caller already wrote the files,
+    * e.g. a bucketed-mirror rewrite that doubles as compaction). Same
+    * snapshot semantics as overwrite: prior versions stay readable. */
+  def adoptFiles(files: Seq[String], lineage: String): Int = {
+    require(files.nonEmpty, "adoptFiles needs at least one file")
+    commit(currentVersion, files.sorted, lineage)
+  }
+
   private def commit(prevV: Int, files: Seq[String], lineage: String): Int = {
     val v = prevV + 1
     val body = (lineage +: files).mkString("\n")

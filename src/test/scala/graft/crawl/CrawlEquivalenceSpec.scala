@@ -71,6 +71,43 @@ class CrawlEquivalenceSpec extends SparkSpec {
       c => c.copy(compactEvery = 2, compactTargetBytes = 1L << 20))
   }
 
+  test("engine ≡ oracle with the bucketed seen mirror active") {
+    // mirror refresh every 2 supersteps, 4 buckets: the seen anti-join
+    // runs as (deltas → bucketed mirror) for most of the crawl; result
+    // must be identical to the plain path (bloom on, to cover the
+    // might-branch chain too)
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60),
+      c => c.copy(useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1,
+        compactEvery = 2, seenBuckets = 4))
+  }
+
+  test("bucketed mirror survives a catalog wipe (fresh-JVM resume path)") {
+    val spec = WebSpec(nCats = 40, nArticles = 60)
+    val store = new PageStore(spec)
+    val sim = SimCrawler.crawl(store)
+    val dir = tmpDir("mirror_resume")
+    val cfg = CrawlConfig(workDir = dir, useBloom = false,
+      compactEvery = 2, seenBuckets = 4)
+
+    // run 3 supersteps via run() so the loop-boundary mirror refresh
+    // fires (k=2), then "crash": drop the catalog entry (a new JVM has
+    // an empty catalog)
+    val e1 = new FrontierEngine(spark, store, cfg.copy(maxSupersteps = 3))
+    e1.run()
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_seen_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+
+    // fresh engine re-registers the mirror from VERSION + files only
+    val e2 = new FrontierEngine(spark, store, cfg)
+    e2.run()
+    val engRows = e2.frontierOrdered()
+      .select("url", "title", "pre_url", "isleaf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toVector
+    assert(engRows == sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf)))
+    assert(e2.seenSet().select("url").collect().map(_.getString(0)).toSet == sim.seen)
+  }
+
   test("parallelism invariance: same result at 2 fetch partitions") {
     engineVsSim(WebSpec(nCats = 30, nArticles = 40),
       c => c.copy(fetchPartitions = 2))
