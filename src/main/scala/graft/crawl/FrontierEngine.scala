@@ -259,17 +259,30 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   val queue = new IceLite(spark, s"${cfg.workDir}/queue")
   val metrics = new IceLite(spark, s"${cfg.workDir}/metrics")
 
-  /** Bucketed seen mirror (cfg.seenBuckets > 0): refreshed at the
-    * compaction cadence; the anti-join reads it exchange-free and only
-    * the post-refresh deltas go through a plain (broadcast-able)
-    * anti-join. Catalog name is workdir-unique so parallel engines in
-    * one JVM (tests) never collide. */
+  /** Bucketed state mirrors (cfg.seenBuckets > 0): refreshed at the
+    * compaction cadence; the anti-joins read them exchange-free and
+    * only the post-refresh deltas go through a plain (broadcast-able)
+    * anti-join. Catalog names are workdir-unique so parallel engines
+    * in one JVM (tests) never collide. The frontier mirror holds the
+    * J2 key projection (leaf rows, 4 key columns) — at the reference's
+    * observed ratio the frontier is ~30× the seen set, so its
+    * per-superstep re-shuffle was the larger cost. */
+  private val mirrorId =
+    graft.functions.TextKernels.md5Hex(cfg.workDir).take(10)
   private val seenMirror: Option[graft.tables.BucketedMirror] =
-    if (cfg.seenBuckets > 0) {
-      val wid = graft.functions.TextKernels.md5Hex(cfg.workDir).take(10)
+    if (cfg.seenBuckets > 0)
       Some(new graft.tables.BucketedMirror(
-        spark, s"${cfg.workDir}/seen_mirror", s"graft_seen_$wid", cfg.seenBuckets))
-    } else None
+        spark, s"${cfg.workDir}/seen_mirror", s"graft_seen_$mirrorId",
+        cfg.seenBuckets, Seq("url"), "url STRING"))
+    else None
+  private val FrontierKeyCols = Seq("url", "title", "pre_url", "isleaf")
+  private val frontierMirror: Option[graft.tables.BucketedMirror] =
+    if (cfg.seenBuckets > 0)
+      Some(new graft.tables.BucketedMirror(
+        spark, s"${cfg.workDir}/frontier_mirror", s"graft_front_$mirrorId",
+        cfg.seenBuckets, FrontierKeyCols,
+        "url STRING, title STRING, pre_url STRING, isleaf INT"))
+    else None
 
   private val nPart =
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
@@ -411,11 +424,23 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // J2: anti-join on the full 4-tuple vs ALL prior rows (cross-parent
     // collisions within a superstep are impossible — pre_url differs)
     val frontierTag = s"rows k=$k"
-    val prior = frontier.readAt(stableVersion(frontier, frontierTag))
-      .filter(col("isleaf") === 1)
-      .select("url", "title", "pre_url", "isleaf")
-    val pageRows = antiJoinWithBloom(
-      pageCand, prior, Seq("url", "title", "pre_url", "isleaf"),
+    val stableF = stableVersion(frontier, frontierTag)
+    def priorKeysOf(df: DataFrame): DataFrame =
+      df.filter(col("isleaf") === 1).select(FrontierKeyCols.map(col): _*)
+    val priorRights: Seq[DataFrame] =
+      frontierMirror.filter(m => m.version > 0 && m.version <= stableF) match {
+        case Some(m) =>
+          val deltaFiles =
+            (frontier.filesAt(stableF).toSet -- frontier.filesAt(m.version).toSet)
+              .toSeq.sorted
+          val deltas =
+            if (deltaFiles.isEmpty) Nil
+            else Seq(priorKeysOf(spark.read.parquet(deltaFiles: _*)))
+          deltas :+ m.table()
+        case None => Seq(priorKeysOf(frontier.readAt(stableF)))
+      }
+    val pageRows = FrontierEngine.antiJoinChainWithBloom(
+      spark, pageCand, priorRights, Seq("url", "title", "pre_url", "isleaf"),
       if (bloomActive) leafBloom else None)
     phase(k, "frontier append") {
       appendOnce(frontier, frontierTag,
@@ -533,6 +558,15 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       // resume re-reads identical content from the compacted snapshot
       if (cfg.compactEvery > 0 && k % cfg.compactEvery == 0) {
         frontier.compact(cfg.compactTargetBytes, s"compact k=$k")
+        // frontier mirror AFTER the frontier compaction so the file-diff
+        // delta base is the post-compaction snapshot
+        frontierMirror.foreach { m =>
+          m.refresh(
+            frontier.read().filter(col("isleaf") === 1)
+              .select(FrontierKeyCols.map(col): _*),
+            frontier.currentVersion)
+          ()
+        }
         seenMirror match {
           case Some(m) =>
             // ONE rewrite serves both: the bucketed mirror refresh IS

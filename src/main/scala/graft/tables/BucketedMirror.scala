@@ -5,44 +5,49 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** Hash-bucketed mirror of a single-key IceLite table — the
+/** Hash-bucketed mirror of an IceLite table's join-key projection — the
   * storage-partitioned-join optimization for the per-superstep exact
-  * anti-join.
+  * anti-joins.
   *
-  * Why: the seen-set anti-join's right side (the committed seen table;
-  * ~600 GB at the 10^10 design point) is re-SHUFFLED and re-SORTED by
-  * every superstep's sort-merge join. A Spark bucketed table
-  * (`bucketBy(B, key).sortBy(key)`) declares its storage partitioning
-  * to Catalyst, so the join reads it with NO Exchange and NO Sort —
-  * measured 2.8-4.2× on the 10M×10M anti-join (graft.BucketProbe; the
-  * production-Iceberg equivalent is a bucket-transform partition spec).
+  * Why: an anti-join's right side (the committed seen/frontier state,
+  * hundreds of GB at the 10^10 design point) is re-SHUFFLED and
+  * re-SORTED by every superstep's sort-merge join. A Spark bucketed
+  * table (`bucketBy(B, keys).sortBy(keys)`) declares its storage
+  * partitioning to Catalyst, so a join on exactly those keys reads it
+  * with NO Exchange and NO Sort — measured 2.8-4.2× on the 10M×10M
+  * anti-join (graft.BucketProbe; the production-Iceberg equivalent is
+  * a bucket-transform partition spec).
   *
   * Mechanics:
-  *  - `refresh(df, v)` writes `df` (the IceLite table's content at
-  *    version v) as a bucketed EXTERNAL table under `dir/v<v>`,
-  *    pre-repartitioned on the same murmur3(key) the bucketer uses so
-  *    each bucket is ONE file (T writer tasks × B buckets = T·B tiny
-  *    files otherwise — measured 6× SLOWER than no bucketing at all,
-  *    because a bucketed scan cannot split files);
+  *  - `refresh(df, v)` writes `df` (the key projection of the IceLite
+  *    table at version v) as a bucketed EXTERNAL table under
+  *    `dir/v<v>`, pre-repartitioned on the same murmur3(keys) the
+  *    bucketer uses so each bucket is ONE file (T writer tasks × B
+  *    buckets = T·B tiny files otherwise — measured 6× SLOWER than no
+  *    bucketing, because a bucketed scan cannot split files);
   *  - a VERSION pointer (`<v>\t<path>`, atomic move) records which
-  *    IceLite version the mirror equals; rows appended to the IceLite
-  *    table after v are the DELTA the caller must still anti-join
-  *    (small, broadcast-able between refreshes);
+  *    IceLite version the mirror equals; rows appended after v are the
+  *    DELTA the caller still anti-joins (small, broadcast-able);
   *  - the catalog entry does not survive a JVM restart (no metastore in
   *    local mode) — `table()` re-registers it over the existing files
-  *    with `CREATE TABLE ... CLUSTERED BY ... LOCATION`, a
-  *    metadata-only operation, so crash-resume never rewrites data.
+  *    with `CREATE TABLE ... CLUSTERED BY ... LOCATION`, metadata-only,
+  *    so crash-resume never rewrites data. `schemaDdl` supplies the
+  *    column list for that DDL.
   *
   * Requires `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
   * (set in Sessions.local): with it on, Spark may silently fall back to
-  * a plain scan and the join re-gains both exchanges.
+  * a plain scan and the join re-gains both exchanges. Note Spark only
+  * uses the bucketing when the join clusters on ALL bucket keys
+  * (`requireAllClusterKeysForCoPartition`), so `keys` must equal the
+  * anti-join's key list exactly.
   */
 final class BucketedMirror(
     spark: SparkSession,
     dir: String,
     tableName: String,
     buckets: Int,
-    key: String = "url"
+    keys: Seq[String],
+    schemaDdl: String
 ) {
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
@@ -56,16 +61,17 @@ final class BucketedMirror(
   private def dataPath: String =
     Files.readString(versionFile).trim.split("\t")(1)
 
-  /** Rewrite the mirror from `df` (content of IceLite version `v`).
-    * Returns the bucketed data files (for the caller to adopt as the
-    * IceLite table's compacted snapshot — one rewrite serves both). */
+  /** Rewrite the mirror from `df` (key projection of IceLite version
+    * `v`). Returns the bucketed data files (for a caller whose table
+    * content IS the projection — e.g. the seen set — to adopt as the
+    * compacted IceLite snapshot, one rewrite serving both). */
   def refresh(df: DataFrame, v: Int): Seq[String] = {
     val path = root.resolve(s"v$v").toString
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    df.repartition(buckets, col(key))
+    df.repartition(buckets, keys.map(col): _*)
       .write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .mode("overwrite")
       .saveAsTable(tableName)
@@ -81,11 +87,10 @@ final class BucketedMirror(
   def table(): DataFrame = {
     require(version > 0, s"bucketed mirror $tableName never refreshed")
     if (!spark.catalog.tableExists(tableName)) {
-      // metadata-only re-registration over the existing bucketed files;
-      // schema is the single key column (the seen table's shape)
+      val cluster = keys.mkString(", ")
       spark.sql(
-        s"""CREATE TABLE $tableName ($key STRING) USING parquet
-            CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+        s"""CREATE TABLE $tableName ($schemaDdl) USING parquet
+            CLUSTERED BY ($cluster) SORTED BY ($cluster) INTO $buckets BUCKETS
             LOCATION '$dataPath'""")
     }
     spark.table(tableName)

@@ -94,9 +94,11 @@ class CrawlEquivalenceSpec extends SparkSpec {
     // an empty catalog)
     val e1 = new FrontierEngine(spark, store, cfg.copy(maxSupersteps = 3))
     e1.run()
-    spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_seen_"))
-      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val wid = graft.functions.TextKernels.md5Hex(dir).take(10)
+    val dropped = spark.catalog.listTables().collect()
+      .filter(_.name.endsWith(wid))
+    assert(dropped.length == 2, s"expected both mirrors registered, got ${dropped.toSeq}")
+    dropped.foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
 
     // fresh engine re-registers the mirror from VERSION + files only
     val e2 = new FrontierEngine(spark, store, cfg)
