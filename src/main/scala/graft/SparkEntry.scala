@@ -62,7 +62,22 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.lshTopK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
     }),
-    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, documents(s, d)))
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, documents(s, d))),
+    "media_resize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      Multimodal.resize(documents(s, d), 128, 128).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("payload_md5"),
+          expr("length(payload)").cast("int").as("n_bytes"))
+    }),
+    "media_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      Multimodal.extractFeatures(documents(s, d)).toDF()
+        .select(col("doc_id"), col("i"),
+          round(col("v") / 1000.0, 4).as("feat"))
+    }),
+    "media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(documents(s, d)).toDF()
+        .select("doc_id", "frame_idx", "frame_md5"))
   )
 
   // ---- shared DuckDB SQL fragments (must mirror the Spark ops above) ----
@@ -318,6 +333,20 @@ object SparkEntry {
                 CASE (('0x' || substr(md5(doc_id::VARCHAR), 5, 2))::INT % 3)
                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
                 64::INT AS n_bytes
-         FROM documents"""
+         FROM documents""",
+    "media_resize" ->
+      """SELECT doc_id, 128::INT AS width, 128::INT AS height,
+                md5(repeat(md5(concat(doc_id::VARCHAR, '|128x128')), 3)) AS payload_md5,
+                48::INT AS n_bytes
+         FROM documents""",
+    "media_features" ->
+      """SELECT doc_id, i::INT AS i,
+                round((('0x' || substr(md5(concat(doc_id::VARCHAR, '|e', i::VARCHAR)),
+                        1, 4))::INT % 1000) / 1000.0, 4) AS feat
+         FROM documents, range(0, 64) t(i)""",
+    "media_frames" ->
+      """SELECT doc_id, idx::INT AS frame_idx,
+                md5(md5(concat(doc_id::VARCHAR, '|f', idx::VARCHAR))) AS frame_md5
+         FROM documents, range(0, 4) t(idx)"""
   )
 }

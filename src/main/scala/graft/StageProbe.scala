@@ -10,7 +10,9 @@ object StageProbe {
     val spark = Sessions.local(cpus, s"probe-$cpus")
     if (args.length > 2 && args(2) == "diag") diag(spark, cpus, nUrls)
     else if (args.length > 2 && args(2) == "dedup") {
-      val m = Bench.dedupBench(spark, nSeen = 10000000, nCand = 10000000)
+      // optional 4th arg = row count (scale-ladder evidence: 10^7, 10^8)
+      val rows = args.lift(3).map(_.toInt).getOrElse(10000000)
+      val m = Bench.dedupBench(spark, nSeen = rows, nCand = rows)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "crawl") {
       val m = Bench.crawlBench(spark, nUrls, nHosts = 32)
