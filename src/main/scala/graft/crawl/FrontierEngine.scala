@@ -82,6 +82,13 @@ final case class CrawlConfig(
     // on the 10M×10M anti-join (graft.BucketProbe). Size at ~1-2 GB of
     // seen rows per bucket at the 10^10 design point.
     seenBuckets: Int = 0,
+    // > 0 expires old snapshots (IceLite.vacuum) at the compaction
+    // cadence, keeping this many versions. Every compaction leaves the
+    // full pre-compaction file set on disk until vacuumed, so a long
+    // crawl without vacuum stores each state table ~twice per cycle.
+    // Keep ≥ 2 so the stableVersion (current-1) reads of a re-executed
+    // superstep always resolve. 0 = never delete (full time travel).
+    vacuumKeepVersions: Int = 0,
     // leaf-pipeline epoch commit granularity (ST2/S9): the reference
     // commits every THREADS*4=128 items; scaled to the distributed
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
@@ -584,6 +591,28 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
             seen.compact(cfg.compactTargetBytes, s"compact k=$k")
         }
         metrics.compact(cfg.compactTargetBytes, s"compact k=$k")
+        // vacuum LAST, after both mirrors point at current versions:
+        // everything older than (current-1) is unreachable — resume
+        // and re-executed supersteps only read current / current-1,
+        // and mirror deltas diff against the just-refreshed version
+        if (cfg.vacuumKeepVersions > 0) {
+          val keep = math.max(2, cfg.vacuumKeepVersions)
+          // the QUEUE is exempt: each of its versions holds one
+          // superstep's (url, seq) batch and crawlOrder() reconstructs
+          // the full pop order from ALL of them — queue history is the
+          // crawl-order log, not disposable state
+          frontier.vacuum(keep); seen.vacuum(keep)
+          metrics.vacuum(keep)
+          // superseded mirror generations die only once no RETAINED
+          // snapshot references their files (the seen table adopts
+          // mirror files as snapshots)
+          def retained(t: IceLite): Set[String] = {
+            val v = t.currentVersion
+            (math.max(1, v - keep + 1) to v).flatMap(t.filesAt).toSet
+          }
+          seenMirror.foreach(m => { m.prune(retained(seen)); () })
+          frontierMirror.foreach(m => { m.prune(retained(frontier)); () })
+        }
       }
     }
     steps

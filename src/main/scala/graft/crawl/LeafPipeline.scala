@@ -208,6 +208,17 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
       epoch += 1
     }
     seqd.unpersist()
+    // end-of-run compaction: a long crawl accumulates appendFiles ×
+    // epochs files and the next run's crawled-check anti-join re-reads
+    // them all; rewrite to size-targeted files (content unchanged, so
+    // resume/metrics pairing is unaffected — compaction lineage does
+    // not match the "leafs epoch=" commit prefix reconcileMetrics
+    // counts)
+    if (cfg.compactEvery > 0 && parsedTotal > 0) {
+      docs.compact(cfg.compactTargetBytes, "compact end-of-run")
+      leafMetrics.compact(cfg.compactTargetBytes, "compact end-of-run")
+      ()
+    }
     parsedTotal
   }
 

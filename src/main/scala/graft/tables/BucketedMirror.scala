@@ -82,6 +82,31 @@ final class BucketedMirror(
     listFiles(path)
   }
 
+  /** Delete superseded mirror generations whose files appear in
+    * NEITHER `referencedFiles` (the union of the owning IceLite
+    * table's retained manifests, post-vacuum) nor the current
+    * generation — a prior generation stays on disk as long as any
+    * retained snapshot still lists its files (the table adopts mirror
+    * files as snapshots, so dropping them early would corrupt reads
+    * at current−1). Returns dirs removed. */
+  def prune(referencedFiles: Set[String]): Int = {
+    val current = if (version > 0) dataPath else ""
+    var removed = 0
+    Files.list(root).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v")
+        && p.toString != current)
+      .toSeq
+      .foreach { old =>
+        val stillLive = listFiles(old.toString).exists(referencedFiles.contains)
+        if (!stillLive) {
+          Files.walk(old).sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator.asScala.foreach(f => { Files.deleteIfExists(f); () })
+          removed += 1
+        }
+      }
+    removed
+  }
+
   /** The mirror as a catalog DataFrame, re-registering the external
     * table if this JVM's catalog has never seen it (resume path). */
   def table(): DataFrame = {

@@ -118,6 +118,40 @@ final class IceLite(spark: SparkSession, dir: String) {
     commit(currentVersion, files.sorted, lineage)
   }
 
+  /** Expire old snapshots (the Iceberg `expire_snapshots` analog):
+    * delete data files referenced ONLY by versions older than the last
+    * `keepVersions`, and their manifests. Readers of retained versions
+    * are unaffected; compaction makes this matter — every compact
+    * leaves the full pre-compaction file set on disk until vacuumed.
+    * Files OUTSIDE this table's data dir (adopted bucketed-mirror
+    * files) are never deleted here — the mirror owns their lifecycle.
+    * Returns the number of data files deleted. */
+  def vacuum(keepVersions: Int = 2): Int = {
+    val v = currentVersion
+    val keepFrom = math.max(1, v - keepVersions + 1)
+    if (keepFrom <= 1) return 0
+    val live: Set[String] = (keepFrom to v).flatMap(filesAt).toSet
+    var deleted = 0
+    (1 until keepFrom).foreach { old =>
+      if (Files.exists(manifest(old))) { // not expired by an earlier vacuum
+        filesAt(old).foreach { f =>
+          val p = Paths.get(f)
+          if (!live.contains(f) && p.startsWith(dataDir) && Files.deleteIfExists(p))
+            deleted += 1
+        }
+        Files.deleteIfExists(manifest(old))
+        ()
+      }
+    }
+    // sweep now-empty delta dirs
+    Files.list(dataDir).iterator.asScala.foreach { d =>
+      if (Files.isDirectory(d) && !Files.list(d).iterator.hasNext)
+        Files.deleteIfExists(d)
+      ()
+    }
+    deleted
+  }
+
   private def commit(prevV: Int, files: Seq[String], lineage: String): Int = {
     val v = prevV + 1
     val body = (lineage +: files).mkString("\n")

@@ -81,6 +81,12 @@ class CrawlEquivalenceSpec extends SparkSpec {
         compactEvery = 2, seenBuckets = 4))
   }
 
+  test("engine ≡ oracle with the full table lifecycle: compaction + mirrors + vacuum") {
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60),
+      c => c.copy(useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1,
+        compactEvery = 2, seenBuckets = 4, vacuumKeepVersions = 2))
+  }
+
   test("bucketed mirror survives a catalog wipe (fresh-JVM resume path)") {
     val spec = WebSpec(nCats = 40, nArticles = 60)
     val store = new PageStore(spec)

@@ -83,7 +83,9 @@ class LeafPipelineSpec extends SparkSpec {
     val lp1 = new LeafPipeline(spark, store, cfg)
     val n1 = lp1.run(work, maxEpochs = 2)
     assert(n1 <= 16 && n1 > 0)
-    assert(lp1.docs.currentVersion == 2, "one commit per epoch")
+    val epochCommits = (1 to lp1.docs.currentVersion)
+      .map(lp1.docs.lineageAt).count(_.startsWith("leafs epoch="))
+    assert(epochCommits == 2, "one commit per epoch")
 
     // resume: a fresh pipeline over the same table crawls ONLY the rest
     val lp2 = new LeafPipeline(spark, store, cfg)

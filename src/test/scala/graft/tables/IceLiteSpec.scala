@@ -39,6 +39,27 @@ class IceLiteSpec extends SparkSpec {
     assert(t.filesAt(t.currentVersion).length <= 2)
   }
 
+  test("vacuum deletes only files exclusive to expired versions; retained reads intact") {
+    val t = new IceLite(spark, tmpDir("icelite_vac"))
+    (0 until 10).foreach { i =>
+      t.append(Seq(i.toLong).toDF("id"), s"d$i", coalesceTo = 1)
+    }
+    t.compact(64L << 20, "compact")      // v11 rewrites everything
+    val preFiles = t.filesAt(11)
+    // keep 2: v10's delta files are all still referenced → nothing dies
+    assert(t.vacuum(keepVersions = 2) == 0)
+    assert(t.readAt(10).as[Long].collect().toSet == (0L until 10L).toSet)
+    // keep 1: only the compacted v11 survives; the 10 pre-compaction
+    // delta files are exclusive to expired versions and are deleted
+    assert(t.vacuum(keepVersions = 1) == 10)
+    assert(t.read().as[Long].collect().toSet == (0L until 10L).toSet)
+    assert(t.filesAt(11) == preFiles)
+    // expired manifests are gone
+    intercept[Exception] { t.readAt(5) }
+    // vacuuming again is a no-op
+    assert(t.vacuum(keepVersions = 1) == 0)
+  }
+
   test("compact is a no-op near the target file count and on empty tables") {
     val t = new IceLite(spark, tmpDir("icelite2"))
     assert(t.compact(1L << 20) == 0)
