@@ -116,6 +116,42 @@ class CrawlEquivalenceSpec extends SparkSpec {
     assert(e2.seenSet().select("url").collect().map(_.getString(0)).toSet == sim.seen)
   }
 
+  test("deep multi-cycle crawl: lifecycle bounds state files; mid-crawl kill resumes identically") {
+    // branching=1 → a category chain (cross-links shortcut it to ~23
+    // BFS levels): many supersteps of tiny batches — the shape where
+    // unbounded per-superstep appends made state re-reads
+    // metadata-bound (r2). Full lifecycle on a tight cadence:
+    // compaction+mirror+vacuum every 4 supersteps → ~6 cycles, with
+    // the kill landing between cycles.
+    val spec = WebSpec(nCats = 120, nArticles = 100, branching = 1, articlesPerCat = 2)
+    val store = new PageStore(spec)
+    val sim = SimCrawler.crawl(store, Set(PageStore.BlockedUrl))
+    val cfg = CrawlConfig(workDir = tmpDir("deep"),
+      blockedUrls = Set(PageStore.BlockedUrl),
+      useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1,
+      compactEvery = 4, seenBuckets = 4, vacuumKeepVersions = 2)
+
+    // kill mid-crawl (past several compaction+vacuum cycles), resume
+    val e1 = new FrontierEngine(spark, store, cfg.copy(maxSupersteps = 12))
+    assert(e1.run() == 12)
+    val e2 = new FrontierEngine(spark, store, cfg)
+    val resumed = e2.run()
+    assert(12 + resumed > 20, s"chain web too shallow: ${12 + resumed} supersteps")
+
+    val engRows = e2.frontierOrdered()
+      .select("url", "title", "pre_url", "isleaf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toVector
+    assert(engRows == sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf)))
+    assert(e2.seenSet().select("url").collect().map(_.getString(0)).toSet == sim.seen)
+
+    // file growth is bounded by the cycle, not the crawl length:
+    // ≤ compacted base (4 buckets / size-targeted) + compactEvery ×
+    // appendFiles ≈ 20, vs 20+ supersteps × 4 ≈ 90+ uncompacted
+    def nFiles(t: graft.tables.IceLite) = t.filesAt(t.currentVersion).length
+    assert(nFiles(e2.seen) < 40, s"seen files unbounded: ${nFiles(e2.seen)}")
+    assert(nFiles(e2.frontier) < 40, s"frontier files unbounded: ${nFiles(e2.frontier)}")
+  }
+
   test("parallelism invariance: same result at 2 fetch partitions") {
     engineVsSim(WebSpec(nCats = 30, nArticles = 40),
       c => c.copy(fetchPartitions = 2))
