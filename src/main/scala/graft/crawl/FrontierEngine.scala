@@ -89,6 +89,15 @@ final case class CrawlConfig(
     // Keep ≥ 2 so the stableVersion (current-1) reads of a re-executed
     // superstep always resolve. 0 = never delete (full time travel).
     vacuumKeepVersions: Int = 0,
+    // > 0 splits each superstep's fetch into sequential sub-batches of
+    // at most this many queue rows. politeFetch materializes its
+    // partition's (url, seq) entries for slice-round-robin pacing, so
+    // per-task memory is queueRows/nPart — at a 10^10 frontier a
+    // multi-million-row superstep needs this cap, NOT relaxed pacing
+    // (the politeness budget holds within each sub-batch; across a
+    // boundary at most one extra request per pacing slice can bunch).
+    // 0 = single batch.
+    fetchBatchRows: Long = 0,
     // leaf-pipeline epoch commit granularity (ST2/S9): the reference
     // commits every THREADS*4=128 items; scaled to the distributed
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
@@ -383,18 +392,35 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     initBlooms()
     val q = queue.read().as[(String, Long)]
 
-    // fetch stage: salted-host repartition so one hot host spreads over
-    // saltFactor partitions, each pacing at budget/saltFactor
-    val salted = q
-      .repartition(nPart,
-        FrontierEngine.saltedPartitionKey(col("url"), cfg.saltFactor))
-      .as[(String, Long)]
     // bind to locals so the task closure captures values, not `this`
     val (st, rb, rps, sf) = (store, cfg.robots, cfg.maxRpsPerHost, cfg.saltFactor)
     val fetchFn = FrontierEngine.politeFetch(st, rb, rps, sf) _
-    val fetched = salted
-      .mapPartitions(fetchFn)
-      .toDF("url", "seq", "html")
+    // fetch stage: salted-host repartition so one hot host spreads over
+    // saltFactor partitions, each pacing at budget/saltFactor
+    def fetchOf(part: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame =
+      part
+        .repartition(nPart,
+          FrontierEngine.saltedPartitionKey(col("url"), cfg.saltFactor))
+        .as[(String, Long)]
+        .mapPartitions(fetchFn)
+        .toDF("url", "seq", "html")
+    // sub-batching (cfg.fetchBatchRows): seq-mod chunks, each
+    // MATERIALIZED before the next starts — sequencing is what keeps
+    // the per-host politeness budget intact across a superstep; chunk
+    // membership is deterministic so results are batching-invariant
+    val fetchedChunks: Seq[DataFrame] =
+      if (cfg.fetchBatchRows <= 0) Seq(fetchOf(q))
+      else {
+        val total = q.count()
+        val nChunks = math.max(1L, (total + cfg.fetchBatchRows - 1) / cfg.fetchBatchRows).toInt
+        (0 until nChunks).map { i =>
+          val f = fetchOf(q.filter(pmod(col("seq"), lit(nChunks)) === i).as[(String, Long)])
+          f.persist()
+          f.count() // sequential materialization point
+          f
+        }
+      }
+    val fetched = fetchedChunks.reduce(_ unionByName _)
     fetched.persist()
 
     // materialize the fetch exactly once, collecting per-partition
@@ -534,6 +560,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     seenApprox += nq // lower bound on the seen delta (blocked adds excluded)
 
     fetched.unpersist()
+    fetchedChunks.foreach(c => { c.unpersist(); () })
     links.unpersist()
     unseen.unpersist()
     nextQueue.unpersist()

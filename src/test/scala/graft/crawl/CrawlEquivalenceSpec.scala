@@ -157,6 +157,13 @@ class CrawlEquivalenceSpec extends SparkSpec {
       c => c.copy(fetchPartitions = 2))
   }
 
+  test("fetch sub-batching invariance: same result with 7-row batches") {
+    // tiny fetchBatchRows forces many sequential chunks per superstep —
+    // results must be byte-identical to single-batch fetching
+    engineVsSim(WebSpec(nCats = 30, nArticles = 40),
+      c => c.copy(fetchBatchRows = 7))
+  }
+
   test("resume: killing after k supersteps and restarting yields identical state") {
     val spec = WebSpec(nCats = 40, nArticles = 60)
     val store = new PageStore(spec)
