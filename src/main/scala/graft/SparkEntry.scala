@@ -62,6 +62,11 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.lshTopK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
     }),
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopKMultiProbe(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    }),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, documents(s, d))),
     "media_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
@@ -321,6 +326,30 @@ object SparkEntry {
                  round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
                 FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
                 WHERE q.vec_id < 8)
+          SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+          WHERE rnk <= 5"""
+    },
+    "ann_lsh_multiprobe" -> {
+      val bucket = (e: String) =>
+        s"""list_sum(list_transform(range(0,8), p ->
+            CASE WHEN list_sum(list_transform(range(1, len($e)+1),
+                 i -> ($e)[i]::DOUBLE *
+                      (CASE WHEN ('0x' || substr(md5(concat('plane', p::VARCHAR, '|',
+                            (i-1)::VARCHAR)), 1, 1))::INT >= 8
+                       THEN 1.0 ELSE -1.0 END))) > 0
+            THEN (1 << p::INT) ELSE 0 END))"""
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+                 ${bucket("embedding")} AS bucket FROM embeddings),
+          qp AS (SELECT vec_id, embedding, nrm,
+                 CASE WHEN pr = 0 THEN bucket
+                      ELSE xor(bucket, (1 << (pr - 1)::INT)) END AS bucket
+                 FROM e, range(0, 9) t(pr) WHERE vec_id < 8),
+          j AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+                FROM qp q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
           SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)

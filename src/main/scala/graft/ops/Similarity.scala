@@ -144,4 +144,36 @@ object Similarity {
           (col("q.nrm") * col("c.nrm")), 6))
     topKPerQuery(joined, k)
   }
+
+  /** Multi-probe LSH ANN: each query also probes the nPlanes buckets at
+    * Hamming distance 1 from its own (one sign-bit flip each) — the
+    * classic recall/cost dial: candidate volume grows ~(nPlanes+1)×
+    * while recall approaches brute force (a true neighbor differing on
+    * one marginal hyperplane is recovered). The probe values are
+    * pairwise-distinct, so a candidate matches at most one probe and no
+    * candidate dedup is needed before the top-k window. Scale shape is
+    * unchanged from lshTopK: probes explode on the (broadcast) query
+    * side only. */
+  def lshTopKMultiProbe(
+      embeddings: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val cand = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = array(
+      (0 to nPlanes).map { i =>
+        if (i == 0) col("bucket0")
+        else col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
+      }: _*)
+    val q = queries
+      .withColumn("bucket0", lshBucket(col("embedding"), nPlanes))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", explode(probes))
+    val joined = cand.as("c")
+      .join(broadcast(q.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos",
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.nrm") * col("c.nrm")), 6))
+    topKPerQuery(joined, k)
+  }
 }

@@ -86,6 +86,25 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => a <= 40 && b <= 40 })
   }
 
+  test("multi-probe LSH: recall ≥ single-bucket LSH, both measured against brute force") {
+    val emb = embeddings.withColumn("emb64",
+      concat(col("embedding"), array_repeat(lit(0.0f), 56)).cast("array<float>"))
+      .select(col("vec_id"), col("emb64").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = resultSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val single = resultSet(Similarity.lshTopK(emb, queries, 5))
+    val multi = resultSet(Similarity.lshTopKMultiProbe(emb, queries, 5))
+    val recallSingle = (single & brute).size.toDouble / brute.size
+    val recallMulti = (multi & brute).size.toDouble / brute.size
+    assert(recallMulti >= recallSingle,
+      s"multi-probe recall $recallMulti < single-bucket $recallSingle")
+    // superset candidates → per-query result count can only grow
+    assert(multi.size >= single.size)
+  }
+
   test("FloatLshBucket kernel ≡ declarative md5 plane-sign formulation") {
     val df = embeddings.limit(20)
       .withColumn("emb64",
