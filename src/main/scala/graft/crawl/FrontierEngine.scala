@@ -274,6 +274,16 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   val seen = new IceLite(spark, s"${cfg.workDir}/seen")
   val queue = new IceLite(spark, s"${cfg.workDir}/queue")
   val metrics = new IceLite(spark, s"${cfg.workDir}/metrics")
+  /** The crawl-order log: (url, seq, superstep) appended once per
+    * superstep — its own append-only table, NOT a reconstruction from
+    * the queue's version history. The queue is ephemeral per-superstep
+    * state and participates in vacuum like everything else; reading
+    * "all queue snapshots ever committed" for the order would list
+    * ~4×10^5 files at 10^5 supersteps and force the queue to be
+    * vacuum-exempt. This table compacts and vacuums on the shared
+    * cadence (append-only, so vacuum only sweeps pre-compaction
+    * duplicates). */
+  val order = new IceLite(spark, s"${cfg.workDir}/crawl_order")
 
   /** Bucketed state mirrors (cfg.seenBuckets > 0): refreshed at the
     * compaction cadence; the anti-joins read them exchange-free and
@@ -342,19 +352,27 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     bloomsReady = true
   }
 
-  /** Initialize state from seeds unless resuming (queue table present). */
+  /** Initialize state from seeds unless resuming (queue table present).
+    * Idempotent: the queue overwrite is init's commit point, and each
+    * append is tag-guarded (appendOnce), so a crash mid-init re-runs
+    * safely instead of leaving the engine half-seeded. */
   def init(): Unit = {
-    if (!queue.isEmpty || !frontier.isEmpty) return // resume path
+    if (!queue.isEmpty) return // resume path
     val seeds = store.seeds
-    val seedRows = seeds.zipWithIndex.map { case ((url, title, pre, isleaf), i) =>
-      (url, title, pre, isleaf, -1L, i.toLong)
-    }.toDF("url", "title", "pre_url", "isleaf", "parent_seq", "emit_idx")
-    frontier.append(seedRows, "seeds", coalesceTo = 1)
-    seen.append(seeds.map(_._1).toDF("url"), "seeds", coalesceTo = 1)
-    val q = seeds.zipWithIndex.collect {
+    appendOnce(frontier, "seeds", {
+      seeds.zipWithIndex.map { case ((url, title, pre, isleaf), i) =>
+        (url, title, pre, isleaf, -1L, i.toLong)
+      }.toDF("url", "title", "pre_url", "isleaf", "parent_seq", "emit_idx")
+    }, coalesceTo = 1)
+    appendOnce(seen, "seeds", seeds.map(_._1).toDF("url"), coalesceTo = 1)
+    val qSeeds = seeds.zipWithIndex.collect {
       case ((url, _, _, 0), i) => (url, i.toLong)
-    }.toDF("url", "seq")
-    queue.overwrite(q, "superstep=0 nextSeq=" + seeds.count(_._4 == 0), coalesceTo = 1)
+    }
+    appendOnce(order, "order k=0",
+      qSeeds.map { case (url, s) => (url, s, 0) }.toDF("url", "seq", "superstep"),
+      coalesceTo = 1)
+    queue.overwrite(qSeeds.toDF("url", "seq"),
+      "superstep=0 nextSeq=" + seeds.count(_._4 == 0), coalesceTo = 1)
   }
 
   /** Version of `t` excluding an append already made for tag `tag`
@@ -407,9 +425,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // sub-batching (cfg.fetchBatchRows): seq-mod chunks, each
     // MATERIALIZED before the next starts — sequencing is what keeps
     // the per-host politeness budget intact across a superstep; chunk
-    // membership is deterministic so results are batching-invariant
+    // membership is deterministic so results are batching-invariant.
+    // Only the CHUNKS are persisted (the single-batch path is one
+    // chunk): downstream reads of the union pull from the chunk caches,
+    // so persisting the union too would cache the superstep's fetched
+    // HTML twice — at exactly the frontier scale the sub-batching
+    // exists to bound memory for.
     val fetchedChunks: Seq[DataFrame] =
-      if (cfg.fetchBatchRows <= 0) Seq(fetchOf(q))
+      if (cfg.fetchBatchRows <= 0) Seq(fetchOf(q).persist())
       else {
         val total = q.count()
         val nChunks = math.max(1L, (total + cfg.fetchBatchRows - 1) / cfg.fetchBatchRows).toInt
@@ -421,7 +444,6 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         }
       }
     val fetched = fetchedChunks.reduce(_ unionByName _)
-    fetched.persist()
 
     // materialize the fetch exactly once, collecting per-partition
     // metrics in the same pass (replaces MyLog counters,
@@ -541,6 +563,15 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       .persist()
 
     val nq = phase(k, "queue seq+count") { nextQueue.count() }
+    // crawl-order log BEFORE the queue overwrite (the commit point):
+    // once step k+1's queue lands, its order rows are guaranteed
+    // committed; a crash in between re-executes step k and appendOnce
+    // skips the already-committed tag (deterministic recomputation)
+    if (nq > 0) phase(k, "order append") {
+      appendOnce(order, s"order k=${k + 1}",
+        nextQueue.withColumn("superstep", lit(k + 1)),
+        coalesceTo = cfg.appendFiles)
+    }
     // the queue overwrite is the superstep's commit point: once it
     // lands, re-execution of step k is impossible (k advances)
     phase(k, "queue overwrite") {
@@ -559,7 +590,6 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     }
     seenApprox += nq // lower bound on the seen delta (blocked adds excluded)
 
-    fetched.unpersist()
     fetchedChunks.foreach(c => { c.unpersist(); () })
     links.unpersist()
     unseen.unpersist()
@@ -618,18 +648,19 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
             seen.compact(cfg.compactTargetBytes, s"compact k=$k")
         }
         metrics.compact(cfg.compactTargetBytes, s"compact k=$k")
+        order.compact(cfg.compactTargetBytes, s"compact k=$k")
         // vacuum LAST, after both mirrors point at current versions:
         // everything older than (current-1) is unreachable — resume
         // and re-executed supersteps only read current / current-1,
         // and mirror deltas diff against the just-refreshed version
         if (cfg.vacuumKeepVersions > 0) {
           val keep = math.max(2, cfg.vacuumKeepVersions)
-          // the QUEUE is exempt: each of its versions holds one
-          // superstep's (url, seq) batch and crawlOrder() reconstructs
-          // the full pop order from ALL of them — queue history is the
-          // crawl-order log, not disposable state
           frontier.vacuum(keep); seen.vacuum(keep)
           metrics.vacuum(keep)
+          // queue + order vacuum like everything else now that the
+          // crawl-order log is its own append-only table — queue
+          // history beyond resume depth is disposable state
+          queue.vacuum(keep); order.vacuum(keep)
           // superseded mirror generations die only once no RETAINED
           // snapshot references their files (the seen table adopts
           // mirror files as snapshots)
@@ -659,17 +690,13 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   def frontierOrdered(): DataFrame =
     frontier.read().orderBy("parent_seq", "emit_idx")
 
-  /** Crawl order: every fetched URL by seq — reconstructed from the
-    * queue table's snapshot history (each version is one superstep's
-    * queue; seqs are globally unique so re-executed supersteps dedup).
-    * One multi-path parquet read over all versions' files — an
-    * O(supersteps) unionByName chain would explode the driver plan at
-    * thousands of supersteps. */
+  /** Crawl order: every fetched URL by seq, from the dedicated
+    * crawl_order table (one snapshot read; seqs are globally unique —
+    * the dropDuplicates is belt-and-braces against a re-executed
+    * superstep double-appending, which appendOnce already prevents). */
   def crawlOrder(): DataFrame = {
-    val v = queue.currentVersion
-    val allFiles = (1 to v).flatMap(queue.filesAt).distinct
-    require(allFiles.nonEmpty, "crawlOrder: no committed queue snapshots")
-    spark.read.parquet(allFiles: _*).dropDuplicates("seq").orderBy("seq")
+    require(!order.isEmpty, "crawlOrder: no committed crawl-order rows")
+    order.read().dropDuplicates("seq").orderBy("seq").select("url", "seq")
   }
 
   def seenSet(): DataFrame = seen.read()

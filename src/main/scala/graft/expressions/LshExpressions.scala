@@ -46,30 +46,31 @@ case class FloatLshBucket(child: Expression, nPlanes: Int) extends UnaryExpressi
 
 object LshExpressions {
 
-  /** Hyperplane dimensionality — fixed at the embedding width used by
-    * the original declarative form (`sequence(0, 63)`). */
-  val Dims = 64
-
-  /** Sign matrices cached per plane count, flat row-major
-    * [plane * Dims + dim]. Computed once per JVM: the old plan paid
-    * this md5 cost per ROW. */
-  private val signCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  /** Sign matrices cached per (plane count, embedding dims), flat
+    * row-major [plane * dims + dim]. Computed once per JVM per shape:
+    * the old plan paid this md5 cost per ROW. Keyed on the ACTUAL
+    * input dimensionality — a fixed Dims=64 silently truncated longer
+    * embeddings / zero-filled shorter ones, diverging from both the
+    * declarative form and the DuckDB oracle (which iterate
+    * range(1, len(e)+1) over the real array length). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
 
   /** +1/−1 from the first hex digit of md5("plane<p>|<dim>") — the
     * exact recipe the declarative `planeSign` used, so buckets (and
     * the DuckDB oracle) are unchanged. */
-  def signs(nPlanes: Int): Array[Double] =
-    signCache.computeIfAbsent(nPlanes, np => {
-      val out = new Array[Double](np * Dims)
+  def signs(nPlanes: Int, dims: Int): Array[Double] =
+    signCache.computeIfAbsent((nPlanes, dims), { case (np, nd) =>
+      val out = new Array[Double](np * nd)
       val md = java.security.MessageDigest.getInstance("MD5")
       var p = 0
       while (p < np) {
         var i = 0
-        while (i < Dims) {
+        while (i < nd) {
           md.reset()
           val digest = md.digest(s"plane$p|$i".getBytes("UTF-8"))
           val firstHexDigit = (digest(0) >> 4) & 0xf
-          out(p * Dims + i) = if (firstHexDigit >= 8) 1.0 else -1.0
+          out(p * nd + i) = if (firstHexDigit >= 8) 1.0 else -1.0
           i += 1
         }
         p += 1
@@ -77,14 +78,17 @@ object LshExpressions {
       out
     })
 
-  /** Static entry point invoked from generated code. */
+  /** Static entry point invoked from generated code. The loop bound is
+    * the input's own length, so every component of every row
+    * participates — a 128-dim embedding buckets on all 128 dims, never
+    * on a silently-truncated prefix. */
   def evalBucket(arr: ArrayData, nPlanes: Int): Int = {
-    val s = signs(nPlanes)
-    val n = math.min(arr.numElements(), Dims)
+    val n = arr.numElements()
+    val s = signs(nPlanes, n)
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
-      val base = p * Dims
+      val base = p * n
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -19,20 +19,19 @@ import graft.tables.IceLite
 object IceLiteSink {
 
   private val TagPrefix = "stream batch="
+  private val BatchProp = "stream.batch"
 
-  /** Highest stream batch id committed to `table`, −1 if none. Stream
-    * batches commit in order, so the TOPMOST stream-tagged lineage
-    * carries the max — the scan is O(1) unless compaction commits sit
-    * above it. */
-  def lastCommittedBatch(table: IceLite): Long = {
-    var i = table.currentVersion
-    while (i >= 1) {
-      val l = table.lineageAt(i)
-      if (l.startsWith(TagPrefix)) return l.stripPrefix(TagPrefix).trim.toLong
-      i -= 1
-    }
-    -1L
-  }
+  /** Highest stream batch id committed to `table`, −1 if none. Read
+    * from the CURRENT manifest's snapshot props — the batch id commits
+    * atomically with the batch's data and every later commit (compact,
+    * vacuum survivor, batch-crawl append) carries it forward, so the
+    * lookup is O(1) and never walks version history. A history scan
+    * here would die on vacuumed manifests: a compact + vacuum cycle on
+    * the shared table lifecycle can expire every stream-tagged commit
+    * while the stream is down, and the restart path must still resume
+    * exactly-once. */
+  def lastCommittedBatch(table: IceLite): Long =
+    table.currentProps.get(BatchProp).map(_.toLong).getOrElse(-1L)
 
   /** Idempotent per-batch append: a replayed batch id is a no-op.
     * Returns true when the batch was appended (false = replay skip or
@@ -40,7 +39,8 @@ object IceLiteSink {
   def appendBatch(table: IceLite, batch: DataFrame, batchId: Long, coalesceTo: Int = 1): Boolean = {
     if (batchId <= lastCommittedBatch(table)) return false
     if (batch.isEmpty) return false
-    table.append(batch, s"$TagPrefix$batchId", coalesceTo)
+    table.append(batch, s"$TagPrefix$batchId", coalesceTo,
+      props = Map(BatchProp -> batchId.toString))
     true
   }
 

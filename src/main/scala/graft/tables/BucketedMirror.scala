@@ -92,15 +92,17 @@ final class BucketedMirror(
   def prune(referencedFiles: Set[String]): Int = {
     val current = if (version > 0) dataPath else ""
     var removed = 0
-    Files.list(root).iterator.asScala
+    scala.util.Using.resource(Files.list(root))(_.iterator.asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v")
         && p.toString != current)
-      .toSeq
+      .toSeq)
       .foreach { old =>
         val stillLive = listFiles(old.toString).exists(referencedFiles.contains)
         if (!stillLive) {
-          Files.walk(old).sorted(java.util.Comparator.reverseOrder[Path]())
-            .iterator.asScala.foreach(f => { Files.deleteIfExists(f); () })
+          scala.util.Using.resource(Files.walk(old))(
+            _.sorted(java.util.Comparator.reverseOrder[Path]())
+              .iterator.asScala.toSeq)
+            .foreach(f => { Files.deleteIfExists(f); () })
           removed += 1
         }
       }
@@ -122,9 +124,9 @@ final class BucketedMirror(
   }
 
   private def listFiles(path: String): Seq[String] =
-    Files.list(Paths.get(path)).iterator.asScala
+    scala.util.Using.resource(Files.list(Paths.get(path)))(_.iterator.asScala
       .map(_.toString)
       .filter(_.endsWith(".parquet"))
-      .toSeq
+      .toSeq)
       .sorted
 }

@@ -2,6 +2,7 @@ package graft.tables
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** IceLite: a minimal snapshot-versioned Parquet table (SURVEY.md §7.1).
@@ -16,8 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   *   dir/data/delta-<n>-<uuid>/part-*.parquet   (immutable data files)
-  *   dir/snapshots/v<n>.json                    (file list + lineage)
+  *   dir/snapshots/v<n>.json                    (lineage + props + files)
   *   dir/LATEST                                 (current version number)
+  *
+  * Manifest format: line 1 is the lineage string; `#key=value` lines are
+  * snapshot PROPERTIES (the Iceberg snapshot-summary / Delta
+  * SetTransaction analog) — carried forward by every commit, so the
+  * CURRENT manifest always holds the latest value of every key even
+  * after compaction rewrites and vacuum expires the commit that set it;
+  * remaining lines are data file paths.
   *
   * On a real cluster the same commit protocol runs against an object
   * store (rename→copy+swap via a metastore CAS); the interface is
@@ -37,29 +45,53 @@ final class IceLite(spark: SparkSession, dir: String) {
 
   private def manifest(v: Int): Path = snapDir.resolve(f"v$v%05d.json")
 
+  /** Directory children as strings (closing the handle — Files.list
+    * leaks a descriptor per call otherwise, and compaction/vacuum call
+    * this every cycle of a long crawl). */
+  private def listDir(d: Path): Seq[Path] =
+    Using.resource(Files.list(d))(_.iterator.asScala.toSeq)
+
+  private def parquetFilesIn(d: Path): Seq[String] =
+    listDir(d).map(_.toString).filter(_.endsWith(".parquet")).sorted
+
   /** Data files of snapshot v (empty for v=0). */
   def filesAt(v: Int): Seq[String] =
     if (v == 0) Seq.empty
     else {
       val txt = Files.readString(manifest(v))
-      // manifest format: one file path per line after the header line
-      txt.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+      // manifest format: lineage, then #props, then one file per line
+      txt.linesIterator.drop(1)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
     }
+
+  /** Snapshot properties at version v. Commits carry all previous props
+    * forward (latest writer of a key wins), so `propsAt(currentVersion)`
+    * is a durable key-value store that survives compaction AND vacuum —
+    * the lookup never walks history. */
+  def propsAt(v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else Files.readString(manifest(v)).linesIterator.drop(1)
+      .filter(_.startsWith("#"))
+      .map { l =>
+        val kv = l.drop(1).split("=", 2)
+        kv(0) -> (if (kv.length > 1) kv(1) else "")
+      }
+      .toMap
+
+  def currentProps: Map[String, String] = propsAt(currentVersion)
 
   /** Atomic append: new snapshot = previous files + df's files.
     * `coalesceTo` > 0 compacts small deltas (avoids tiny-file explosion
-    * for per-superstep metadata writes). Returns the new version. */
-  def append(df: DataFrame, lineage: String, coalesceTo: Int = 0): Int = {
+    * for per-superstep metadata writes). `props` commit atomically with
+    * the data (same manifest) and persist across later commits.
+    * Returns the new version. */
+  def append(df: DataFrame, lineage: String, coalesceTo: Int = 0,
+      props: Map[String, String] = Map.empty): Int = {
     val v = currentVersion
     val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
     val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     out.write.parquet(deltaDir.toString)
-    val newFiles = Files.list(deltaDir).iterator.asScala
-      .map(_.toString)
-      .filter(f => f.endsWith(".parquet"))
-      .toSeq
-      .sorted
-    commit(v, filesAt(v) ++ newFiles, lineage)
+    commit(v, filesAt(v) ++ parquetFilesIn(deltaDir), lineage, props)
   }
 
   /** Replace the table content (used for per-superstep queue tables).
@@ -69,12 +101,7 @@ final class IceLite(spark: SparkSession, dir: String) {
     val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
     val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     out.write.parquet(deltaDir.toString)
-    val newFiles = Files.list(deltaDir).iterator.asScala
-      .map(_.toString)
-      .filter(_.endsWith(".parquet"))
-      .toSeq
-      .sorted
-    commit(v, newFiles, lineage)
+    commit(v, parquetFilesIn(deltaDir), lineage)
   }
 
   /** Compaction: rewrite the CURRENT snapshot into files of
@@ -101,12 +128,7 @@ final class IceLite(spark: SparkSession, dir: String) {
     if (fs.length <= 2 * nOut) return v
     val deltaDir = dataDir.resolve(s"delta-${v + 1}-${java.util.UUID.randomUUID}")
     spark.read.parquet(fs: _*).repartition(nOut).write.parquet(deltaDir.toString)
-    val newFiles = Files.list(deltaDir).iterator.asScala
-      .map(_.toString)
-      .filter(_.endsWith(".parquet"))
-      .toSeq
-      .sorted
-    commit(v, newFiles, lineage)
+    commit(v, parquetFilesIn(deltaDir), lineage)
   }
 
   /** Commit an externally-written file list as the table's new FULL
@@ -123,8 +145,10 @@ final class IceLite(spark: SparkSession, dir: String) {
     * `keepVersions`, and their manifests. Readers of retained versions
     * are unaffected; compaction makes this matter — every compact
     * leaves the full pre-compaction file set on disk until vacuumed.
-    * Files OUTSIDE this table's data dir (adopted bucketed-mirror
-    * files) are never deleted here — the mirror owns their lifecycle.
+    * Snapshot PROPS survive vacuum by construction (every commit
+    * carries them forward into the retained manifests). Files OUTSIDE
+    * this table's data dir (adopted bucketed-mirror files) are never
+    * deleted here — the mirror owns their lifecycle.
     * Returns the number of data files deleted. */
   def vacuum(keepVersions: Int = 2): Int = {
     val v = currentVersion
@@ -144,17 +168,20 @@ final class IceLite(spark: SparkSession, dir: String) {
       }
     }
     // sweep now-empty delta dirs
-    Files.list(dataDir).iterator.asScala.foreach { d =>
-      if (Files.isDirectory(d) && !Files.list(d).iterator.hasNext)
+    listDir(dataDir).foreach { d =>
+      if (Files.isDirectory(d) && listDir(d).isEmpty)
         Files.deleteIfExists(d)
       ()
     }
     deleted
   }
 
-  private def commit(prevV: Int, files: Seq[String], lineage: String): Int = {
+  private def commit(prevV: Int, files: Seq[String], lineage: String,
+      props: Map[String, String] = Map.empty): Int = {
     val v = prevV + 1
-    val body = (lineage +: files).mkString("\n")
+    val mergedProps = propsAt(prevV) ++ props
+    val propLines = mergedProps.toSeq.sorted.map { case (k, p) => s"#$k=$p" }
+    val body = ((lineage +: propLines) ++ files).mkString("\n")
     val tmp = snapDir.resolve(s".v$v.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, manifest(v), StandardCopyOption.ATOMIC_MOVE)

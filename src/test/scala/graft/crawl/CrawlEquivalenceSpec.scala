@@ -143,6 +143,10 @@ class CrawlEquivalenceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toVector
     assert(engRows == sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf)))
     assert(e2.seenSet().select("url").collect().map(_.getString(0)).toSet == sim.seen)
+    // the dedicated crawl_order table reproduces the exact pop order
+    // across the kill/resume boundary and its own compaction/vacuum
+    val engOrder = e2.crawlOrder().select("url").collect().map(_.getString(0)).toVector
+    assert(engOrder == sim.crawlOrder, "crawl order differs after lifecycle + resume")
 
     // file growth is bounded by the cycle, not the crawl length:
     // ≤ compacted base (4 buckets / size-targeted) + compactEvery ×
@@ -150,6 +154,23 @@ class CrawlEquivalenceSpec extends SparkSpec {
     def nFiles(t: graft.tables.IceLite) = t.filesAt(t.currentVersion).length
     assert(nFiles(e2.seen) < 40, s"seen files unbounded: ${nFiles(e2.seen)}")
     assert(nFiles(e2.frontier) < 40, s"frontier files unbounded: ${nFiles(e2.frontier)}")
+    assert(nFiles(e2.order) < 40, s"crawl_order files unbounded: ${nFiles(e2.order)}")
+    // ON-DISK bound INCLUDING vacuumed history — the queue is no longer
+    // vacuum-exempt (the order log is its own table), so total parquet
+    // on disk is bounded by the vacuum cadence, not the superstep count
+    def diskFiles(sub: String): Int = {
+      val d = java.nio.file.Paths.get(cfg.workDir, sub)
+      var n = 0
+      scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
+        val it = s.iterator()
+        while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+      }
+      n
+    }
+    val qDisk = diskFiles("queue")
+    val oDisk = diskFiles("crawl_order")
+    assert(qDisk < 60, s"queue on-disk files unbounded: $qDisk")
+    assert(oDisk < 60, s"crawl_order on-disk files unbounded: $oDisk")
   }
 
   test("parallelism invariance: same result at 2 fetch partitions") {

@@ -40,6 +40,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("float_lsh_bucket derives dims from the input array — 32/64/128-dim all bucket on every component") {
+    val rnd = new scala.util.Random(7)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Double = {
+      md.reset()
+      val d = md.digest(s"plane$p|$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    for (dims <- Seq(32, 64, 128)) {
+      val rows = (1 to 20).map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      val got = rows.toDF("id", "e")
+        .select(col("id"), LshExpressions.float_lsh_bucket(col("e"), 8).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      rows.foreach { case (id, e) =>
+        var exp = 0
+        for (p <- 0 until 8) {
+          var acc = 0.0
+          var i = 0
+          while (i < dims) { acc += e(i).toDouble * sign(p, i); i += 1 }
+          if (acc > 0) exp |= 1 << p
+        }
+        assert(got(id) == exp, s"dims=$dims id=$id: bucket must cover all $dims components")
+      }
+    }
+  }
+
   test("float_dot null handling") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),

@@ -59,4 +59,30 @@ class IceLiteSinkSpec extends SparkSpec {
     assert(!IceLiteSink.appendBatch(table, batch.filter("id > 99"), batchId = 4))
     assert(IceLiteSink.lastCommittedBatch(table) == 3)
   }
+
+  test("the high-water mark survives compact + vacuum expiring every stream-tagged manifest") {
+    val dir = tmpDir("sink3")
+    val table = new IceLite(spark, dir)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(IceLiteSink.appendBatch(table, batch, batchId = 0))
+    assert(IceLiteSink.appendBatch(table, batch, batchId = 1))
+    assert(IceLiteSink.appendBatch(table, batch.filter("id = 1"), batchId = 2))
+    // maintenance cycle on the shared table lifecycle: compaction
+    // rewrites, then vacuum(keep=1) expires EVERY manifest that carried
+    // a stream lineage tag — the retained history is maintenance-only
+    val vBefore = table.currentVersion
+    assert(table.compact(1L << 30, "compact") == vBefore + 1)
+    assert(table.vacuum(keepVersions = 1) > 0)
+    assert((1 until table.currentVersion).forall(v =>
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "snapshots", f"v$v%05d.json"))),
+      "vacuum(keep=1) should have expired all prior manifests")
+    // restart path: must resume (not throw), and replay must stay a no-op
+    assert(IceLiteSink.lastCommittedBatch(table) == 2)
+    assert(!IceLiteSink.appendBatch(table, batch, batchId = 2), "replayed batch re-appended after vacuum")
+    assert(table.read().count() == 5)
+    assert(IceLiteSink.appendBatch(table, batch.filter("id = 1"), batchId = 3))
+    assert(table.read().count() == 6)
+    assert(IceLiteSink.lastCommittedBatch(table) == 3)
+  }
 }
