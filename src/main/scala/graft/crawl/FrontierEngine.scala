@@ -102,7 +102,15 @@ final case class CrawlConfig(
     // commits every THREADS*4=128 items; scaled to the distributed
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
     // epoch. Raise at 10^10 scale — commit cost is O(epochs).
-    leafEpochSize: Int = 4096
+    leafEpochSize: Int = 4096,
+    // F4 fidelity quirk (`zhwiki_leafs.py:113-123`): the reference keys
+    // the already-crawled check on the NARROW-sanitized TITLE alone
+    // (its save-directory name) — same-titled articles on DIFFERENT
+    // hosts collide and only one is ever fetched. true = faithful
+    // (default, matches the single-host reference); false = key on
+    // (host, title), what a real multi-host crawl wants: no cross-host
+    // data loss, while same-host sanitize collisions still conflate.
+    fidelityF4: Boolean = true
 )
 
 object FrontierEngine {
@@ -194,9 +202,9 @@ object FrontierEngine {
       graft.expressions.UrlExpressions.host_of(url),
       pmod(crc32(url.cast("binary")), lit(saltFactor)))
 
-  /** Exact left anti join behind an optional broadcast Bloom prefilter:
-    * rows whose key the bloom has definitely never seen skip the join
-    * shuffle; "might contain" rows go through the exact anti-join
+  /** Exact left anti join behind an optional Bloom prefilter probe:
+    * rows whose key the probe says "definitely never seen" skip the
+    * join shuffle; "might contain" rows go through the exact anti-join
     * (false positives must not drop rows). */
   /** Column name of a pre-computed bloom probe (see mightContainCol):
     * when the caller evaluates the probe BELOW its own exchange (e.g.
@@ -205,7 +213,9 @@ object FrontierEngine {
     * and the pre-exchange subtree once per branch. */
   val MightCol = "__might"
 
-  /** Bloom-probe column for `keys` against a broadcast bloom. */
+  /** Bloom-probe column for `keys` against a broadcast bloom (the
+    * monolithic-bloom path; the sharded path builds its probe from
+    * BloomShardStore.probeCol instead). */
   def mightContainCol(
       spark: SparkSession, b: BloomFilter, keys: Seq[String]): org.apache.spark.sql.Column = {
     val bloomBc = spark.sparkContext.broadcast(b)
@@ -218,31 +228,34 @@ object FrontierEngine {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      bloom: Option[BloomFilter]
-  ): DataFrame = antiJoinChainWithBloom(spark, left, Seq(right), keys, bloom)
+      probe: Option[org.apache.spark.sql.Column]
+  ): DataFrame = antiJoinChainWithBloom(spark, left, Seq(right), keys, probe)
 
   /** Anti-join `left` against the UNION of `rights`, expressed as a
     * chain of anti-joins (provably equal: a row survives iff it matches
     * no right side) — chaining lets each right keep its own best plan:
     * a small post-mirror delta broadcasts, while the bucketed seen
     * mirror sort-merges with NO right-side exchange. A literal
-    * union(rights) would destroy the mirror's storage partitioning. */
+    * union(rights) would destroy the mirror's storage partitioning.
+    * `probe` is any boolean prefilter column that is TRUE whenever the
+    * row's key might be in the union of rights (a broadcast bloom, a
+    * sharded-bloom probe, or their OR). */
   def antiJoinChainWithBloom(
       spark: SparkSession,
       left: DataFrame,
       rights: Seq[DataFrame],
       keys: Seq[String],
-      bloom: Option[BloomFilter]
+      probe: Option[org.apache.spark.sql.Column]
   ): DataFrame = {
     def chain(l: DataFrame): DataFrame =
       rights.foldLeft(l)((acc, r) => acc.join(r, keys, "left_anti"))
-    bloom match {
+    probe match {
       case None =>
         chain(if (left.columns.contains(MightCol)) left.drop(MightCol) else left)
-      case Some(b) =>
+      case Some(p) =>
         val flagged =
           if (left.columns.contains(MightCol)) left
-          else left.withColumn(MightCol, mightContainCol(spark, b, keys))
+          else left.withColumn(MightCol, p)
         flagged.filter(!col(MightCol)).drop(MightCol)
           .unionByName(chain(flagged.filter(col(MightCol)).drop(MightCol)))
     }
@@ -314,12 +327,40 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
     else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-  // persistent prefilters (supersets of seen urls / leaf row tuples);
-  // None until the first non-empty build (all blooms come from
-  // stat.bloomFilter with identical sizing → merge-compatible)
+  /** Sharded persistent blooms (cfg.seenBuckets > 0): one shard per
+    * mirror bucket, built distributed (tasks write shard files — no
+    * driver-side merge, no per-superstep broadcast of the full set)
+    * and refreshed at the compaction cadence alongside the mirrors.
+    * The in-memory seenBloom/leafBloom then hold only the RECENT
+    * DELTA (rows since the last shard generation), bounding driver
+    * bloom memory by the compaction cadence instead of the full
+    * 10^10-key set; the probe is shardMight OR recentMight — still a
+    * superset of the committed state. Without buckets, the legacy
+    * driver-merged monolith path is used (fine for small crawls). */
+  private val seenShards: Option[graft.tables.BloomShardStore] =
+    if (cfg.seenBuckets > 0 && cfg.useBloom)
+      Some(new graft.tables.BloomShardStore(
+        s"${cfg.workDir}/seen_blooms", cfg.seenBuckets, Seq("url")))
+    else None
+  private val leafShards: Option[graft.tables.BloomShardStore] =
+    if (cfg.seenBuckets > 0 && cfg.useBloom)
+      Some(new graft.tables.BloomShardStore(
+        s"${cfg.workDir}/frontier_blooms", cfg.seenBuckets, FrontierKeyCols))
+    else None
+  private def perShardExpected: Long =
+    math.max(1024L, cfg.bloomExpectedItems / math.max(1, cfg.seenBuckets))
+
+  // in-memory prefilters: the full set (legacy path) or the recent
+  // delta since the shard generation (sharded path); None until the
+  // first non-empty build (all blooms come from stat.bloomFilter with
+  // identical sizing → merge-compatible)
   private var seenBloom: Option[BloomFilter] = None
   private var leafBloom: Option[BloomFilter] = None
   private var bloomsReady = false
+  /** Diagnostic: how the last initBlooms resolved — "loaded-shards"
+    * (resume path, no full-table scan), "built-shards" (distributed
+    * first build), or "driver-merged" (legacy monolith). */
+  private[crawl] var lastBloomInit: String = "never"
 
   /** None for an empty input (stat.bloomFilter NPEs on zero rows, and
     * an empty delta has nothing to merge anyway). */
@@ -344,12 +385,71 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   private def bloomActive: Boolean =
     cfg.useBloom && seenApprox >= cfg.bloomMinRows
 
+  /** Files appended to `t` after version `gen` (the recent-delta base
+    * for resume). Falls back to the full current file list if gen's
+    * manifest was expired — a superset, so still correct. */
+  private def deltaFilesSince(t: IceLite, gen: Int): Seq[String] = {
+    val cur = t.filesAt(t.currentVersion).toSet
+    val base =
+      try t.filesAt(gen).toSet
+      catch { case _: java.nio.file.NoSuchFileException => Set.empty[String] }
+    (cur -- base).toSeq.sorted
+  }
+
+  private def buildBloomFromFiles(files: Seq[String], keys: Seq[String]): Option[BloomFilter] =
+    if (files.isEmpty) None
+    else buildBloom(spark.read.parquet(files: _*), keys)
+
   private def initBlooms(): Unit = if (bloomActive && !bloomsReady) {
-    seenBloom = buildBloom(seen.read(), Seq("url"))
-    leafBloom = buildBloom(
-      frontier.read().filter(col("isleaf") === 1),
-      Seq("url", "title", "pre_url", "isleaf"))
+    (seenShards, leafShards) match {
+      case (Some(ss), Some(ls)) if ss.generation > 0 && ls.generation > 0 =>
+        // resume: shards load lazily from their files — NO full-table
+        // scan. Only the post-generation delta (file diff) is rebuilt.
+        seenBloom = buildBloomFromFiles(deltaFilesSince(seen, ss.generation), Seq("url"))
+        leafBloom = buildBloomFromFiles(
+          deltaFilesSince(frontier, ls.generation), FrontierKeyCols)
+        lastBloomInit = "loaded-shards"
+      case (Some(ss), Some(ls)) =>
+        // first activation: distributed shard build (each task writes
+        // its own shard — nothing merges on the driver)
+        ss.refresh(seen.read().select("url"), seen.currentVersion, perShardExpected)
+        ls.refresh(
+          frontier.read().filter(col("isleaf") === 1)
+            .select(FrontierKeyCols.map(col): _*),
+          frontier.currentVersion, perShardExpected)
+        seenBloom = None
+        leafBloom = None
+        lastBloomInit = "built-shards"
+      case _ =>
+        seenBloom = buildBloom(seen.read(), Seq("url"))
+        leafBloom = buildBloom(
+          frontier.read().filter(col("isleaf") === 1),
+          Seq("url", "title", "pre_url", "isleaf"))
+        lastBloomInit = "driver-merged"
+    }
     bloomsReady = true
+  }
+
+  /** Seen-set prefilter probe: sharded-bloom probe OR'd with the
+    * recent-delta bloom (sharded path), or the monolith bloom probe
+    * (legacy path). None when no prefilter is available. */
+  private def seenProbe: Option[org.apache.spark.sql.Column] =
+    probeFor(seenShards, seenBloom, Seq("url"))
+
+  private def leafProbe: Option[org.apache.spark.sql.Column] =
+    probeFor(leafShards, leafBloom, FrontierKeyCols)
+
+  private def probeFor(
+      shards: Option[graft.tables.BloomShardStore],
+      recent: Option[BloomFilter],
+      keys: Seq[String]): Option[org.apache.spark.sql.Column] = {
+    if (!bloomActive || !bloomsReady) return None
+    val shardProbe = shards.filter(_.generation > 0).map(_.probeCol(keys.map(col)))
+    val recentProbe = recent.map(b => FrontierEngine.mightContainCol(spark, b, keys))
+    (shardProbe, recentProbe) match {
+      case (Some(s), Some(r)) => Some(s || r)
+      case (s, r)             => s.orElse(r)
+    }
   }
 
   /** Initialize state from seeds unless resuming (queue table present).
@@ -496,7 +596,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       }
     val pageRows = FrontierEngine.antiJoinChainWithBloom(
       spark, pageCand, priorRights, Seq("url", "title", "pre_url", "isleaf"),
-      if (bloomActive) leafBloom else None)
+      leafProbe)
     phase(k, "frontier append") {
       appendOnce(frontier, frontierTag,
         nonPage.unionByName(pageRows).repartition(cfg.appendFiles))
@@ -510,11 +610,9 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // the reused shuffle instead of re-running the UDF and the Window
     // subtree once per branch (the probe is url-deterministic, so it
     // commutes with first-wins row selection)
-    val candProbed = (if (bloomActive) seenBloom else None) match {
-      case Some(b) =>
-        cand.withColumn(FrontierEngine.MightCol,
-          FrontierEngine.mightContainCol(spark, b, Seq("url")))
-      case None => cand
+    val candProbed = seenProbe match {
+      case Some(p) => cand.withColumn(FrontierEngine.MightCol, p)
+      case None    => cand
     }
     val firstWins = candProbed
       .withColumn("rn", row_number().over(w))
@@ -540,7 +638,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       }
     val unseen = FrontierEngine.antiJoinChainWithBloom(
       spark, firstWins, seenRights, Seq("url"),
-      if (bloomActive) seenBloom else None)
+      seenProbe)
       .persist()
 
     phase(k, "seen append") {
@@ -597,13 +695,6 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     (nq, nFetched)
   }
 
-  private def antiJoinWithBloom(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      bloom: Option[BloomFilter]
-  ): DataFrame = FrontierEngine.antiJoinWithBloom(spark, left, right, keys, bloom)
-
   /** Run to completion (or maxSupersteps). Returns supersteps executed. */
   def run(): Int = {
     init()
@@ -649,6 +740,24 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         }
         metrics.compact(cfg.compactTargetBytes, s"compact k=$k")
         order.compact(cfg.compactTargetBytes, s"compact k=$k")
+        // sharded blooms refresh from the just-compacted state (one
+        // distributed pass each, tasks write their own shards); the
+        // recent-delta blooms reset — the new shard generation covers
+        // everything committed, so driver bloom memory stays bounded
+        // by one compaction cycle's deltas, not the crawl
+        if (bloomActive && bloomsReady) {
+          seenShards.foreach { ss =>
+            ss.refresh(seen.read().select("url"), seen.currentVersion, perShardExpected)
+            seenBloom = None
+          }
+          leafShards.foreach { ls =>
+            ls.refresh(
+              frontier.read().filter(col("isleaf") === 1)
+                .select(FrontierKeyCols.map(col): _*),
+              frontier.currentVersion, perShardExpected)
+            leafBloom = None
+          }
+        }
         // vacuum LAST, after both mirrors point at current versions:
         // everything older than (current-1) is unreachable — resume
         // and re-executed supersteps only read current / current-1,

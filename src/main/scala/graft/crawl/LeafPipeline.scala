@@ -100,9 +100,15 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     * crawled" on the NARROW-sanitized title — the save directory name
     * (`zhwiki_leafs.py:113-123`), NOT the url. Two work items whose
     * titles sanitize identically collide: once one is committed, the
-    * other is skipped forever. */
-  private def crawledKey(title: org.apache.spark.sql.Column) =
-    replace(replace(title, lit(":"), lit("-")), lit("/"), lit("--"))
+    * other is skipped forever. With cfg.fidelityF4=false the key is
+    * (host, sanitized title): same-titled articles on different hosts
+    * crawl independently (the multi-host-safe mode), while same-host
+    * sanitize collisions still conflate as the reference does. */
+  private def crawledKey(url: org.apache.spark.sql.Column, title: org.apache.spark.sql.Column) = {
+    val t = replace(replace(title, lit(":"), lit("-")), lit("/"), lit("--"))
+    if (cfg.fidelityF4) t
+    else concat_ws("", graft.expressions.UrlExpressions.host_of(url), t)
+  }
 
   /** Crash-consistency for the docs↔metrics commit pair: each epoch
     * commits docs THEN its metrics rows; a crash between the two
@@ -140,8 +146,9 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     val pending =
       if (docs.isEmpty) work
       else work.join(
-        docs.read().select(crawledKey(col("title")).as("__ck")).distinct(),
-        crawledKey(work("title")) === col("__ck"), "left_anti")
+        docs.read()
+          .select(crawledKey(col("doc_id"), col("title")).as("__ck")).distinct(),
+        crawledKey(work("url"), work("title")) === col("__ck"), "left_anti")
 
     // optional priority column (get_pri_leaves analog): priority items
     // sort first so they land in the earliest epochs
@@ -154,7 +161,7 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     // titles sanitize to the same directory only the first is fetched
     // (the r2 build reproduced the quirk only across runs)
     val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(crawledKey(col("title"))).orderBy(ordCols: _*)
+      .partitionBy(crawledKey(col("url"), col("title"))).orderBy(ordCols: _*)
 
     // deterministic work order → seq via sorted zipWithIndex (two narrow
     // passes, no single-partition window); persisted so the per-epoch

@@ -1,0 +1,163 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, concat_ws, hash, lit, pmod, udf}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persistent, bucket-sharded Bloom filters for the URL-seen prefilter —
+  * the 10^10-design-point replacement for a driver-merged monolith.
+  *
+  * Why: one merged bloom sized for 10^10 keys is ~12 GB built and
+  * OR-merged ON THE DRIVER and re-broadcast every superstep. Sharding
+  * by the SAME murmur3(keys) % buckets routing as the bucketed state
+  * mirrors removes the driver from the path entirely:
+  *   - build is distributed — `refresh` repartitions the key projection
+  *     by bucket and each task writes its own shard file (atomic move),
+  *     so no shard ever transits or merges on the driver;
+  *   - probe is lazy per executor — tasks load only the shards their
+  *     rows hash to (a JVM-wide cache, one read per shard per
+  *     generation). Because the enqueue probe sits under an exchange
+  *     hashed on the same keys, an executor's resident set is
+  *     buckets/partitions shards, not all of them;
+  *   - resume is a file load, not a table scan — the GENERATION pointer
+  *     records which IceLite version the shards equal, so a restarted
+  *     crawl reloads shards and rebuilds only the post-generation
+  *     delta (the file diff), instead of rescanning the full seen set.
+  *
+  * Correctness contract (same as any seen-bloom): each shard is a
+  * SUPERSET filter — "might contain" routes rows into the exact
+  * anti-join; "definitely not" skips it. A false positive costs a join
+  * row; a lost shard would cost correctness, so `shardFor` fails fast
+  * on a missing file rather than defaulting to empty.
+  *
+  * The shard layout mirrors BucketedMirror: `dir/gen-v<v>/shard-<b>
+  * .bloom` + an atomically-swapped GENERATION pointer; superseded
+  * generations are pruned at refresh. On a real cluster the same files
+  * live on the shared object store and each executor streams its
+  * shards once per generation.
+  */
+final class BloomShardStore(
+    dir: String,
+    buckets: Int,
+    keys: Seq[String]
+) extends Serializable {
+
+  @transient private lazy val root: Path = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    p
+  }
+  private def genPointer: Path = root.resolve("GENERATION")
+
+  /** IceLite version the current shard generation equals, 0 if never
+    * refreshed. */
+  def generation: Int =
+    if (Files.exists(genPointer)) Files.readString(genPointer).trim.toInt else 0
+
+  private def genDir(v: Int): Path = root.resolve(s"gen-v$v")
+
+  /** Distributed shard build from `df` (the key projection of an
+    * IceLite table at version `v`). Each of the `buckets` tasks builds
+    * one BloomFilter over its bucket's keys and writes it straight to
+    * `dir/gen-v<v>/shard-<bucket>.bloom` — the driver only commits the
+    * GENERATION pointer. Rows route by pmod(murmur3(keys), buckets),
+    * identical to `repartition(buckets, keys)` and to Spark's
+    * bucketBy, so shard residency co-locates with the bucketed mirror.
+    * Returns the number of keys indexed. */
+  def refresh(df: DataFrame, v: Int, expectedItemsPerShard: Long,
+      fpp: Double = 0.01): Long = {
+    val out = genDir(v)
+    Files.createDirectories(out)
+    val (dirStr, exp, f) = (out.toString, math.max(1024L, expectedItemsPerShard), fpp)
+    val keyed = df
+      .repartition(buckets, keys.map(col): _*)
+      .select(concat_ws(BloomShardStore.KeySep, keys.map(col): _*).as("k"))
+    val counts = keyed.queryExecution.toRdd.mapPartitions { it =>
+      val bf = BloomFilter.create(exp, f)
+      var n = 0L
+      it.foreach { row => bf.putString(row.getString(0)); n += 1 }
+      val pid = TaskContext.getPartitionId()
+      val tmp = Paths.get(dirStr, s".shard-$pid-${java.util.UUID.randomUUID}.tmp")
+      val os = Files.newOutputStream(tmp)
+      try bf.writeTo(os) finally os.close()
+      Files.move(tmp, Paths.get(dirStr, s"shard-$pid.bloom"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Iterator.single(n)
+    }.collect().sum
+    val tmp = root.resolve(".GENERATION.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, genPointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(v)
+    BloomShardStore.evictPrefix(root.toString)
+    counts
+  }
+
+  /** Probe column: true iff this row's shard MIGHT contain its key.
+    * The shard id is computed with Catalyst's own murmur3 `hash`, so it
+    * agrees with the refresh-side repartition by construction; the
+    * shard itself loads lazily on the executor the row lands on. */
+  def probeCol(keyCols: Seq[Column]): Column = {
+    val g = generation
+    require(g > 0, s"bloom shards at $dir never refreshed")
+    val genDirStr = genDir(g).toString
+    val probe = udf((b: Int, k: String) =>
+      BloomShardStore.shardFor(genDirStr, b).mightContain(k))
+    probe(pmod(hash(keyCols: _*), lit(buckets)),
+      concat_ws(BloomShardStore.KeySep, keyCols: _*))
+  }
+
+  /** Delete superseded generations (current probe plans hold loaded
+    * shards in the JVM cache; files of the current generation stay). */
+  private def prune(current: Int): Unit = {
+    val keep = genDir(current).getFileName.toString
+    val old = scala.util.Using.resource(Files.list(root)) { s =>
+      val b = Seq.newBuilder[Path]
+      s.forEach(p =>
+        if (Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-v")
+          && p.getFileName.toString != keep) { b += p; () })
+      b.result()
+    }
+    old.foreach { p =>
+      scala.util.Using.resource(Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      }
+    }
+  }
+}
+
+object BloomShardStore {
+  /** Key separator for multi-column keys — matches the engine's
+    * recent-delta bloom keying (concat_ws of the same columns). */
+  val KeySep = ""
+
+  /** JVM-wide shard cache: one disk read per (generation dir, bucket)
+    * per executor JVM. Bounded by the shards an executor actually
+    * probes; stale generations are evicted on refresh. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+
+  private[tables] def shardFor(genDir: String, bucket: Int): BloomFilter =
+    cache.computeIfAbsent(s"$genDir/shard-$bucket.bloom", p => {
+      val path = Paths.get(p)
+      require(Files.exists(path),
+        s"bloom shard missing: $p — refusing to treat as empty (would break the superset contract)")
+      val is = Files.newInputStream(path)
+      try BloomFilter.readFrom(is) finally is.close()
+    })
+
+  private[tables] def evictPrefix(prefix: String): Unit = {
+    cache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
+
+  /** Test/diagnostic hook: number of shards currently resident. */
+  def residentShards(prefix: String): Int = {
+    var n = 0
+    cache.keySet.forEach(k => if (k.startsWith(prefix)) n += 1)
+    n
+  }
+}

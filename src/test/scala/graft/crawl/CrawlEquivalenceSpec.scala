@@ -173,6 +173,40 @@ class CrawlEquivalenceSpec extends SparkSpec {
     assert(oDisk < 60, s"crawl_order on-disk files unbounded: $oDisk")
   }
 
+  test("sharded blooms: resume loads persisted shards instead of rescanning the seen table") {
+    val spec = WebSpec(nCats = 40, nArticles = 60)
+    val store = new PageStore(spec)
+    val sim = SimCrawler.crawl(store)
+    val dir = tmpDir("shard_resume")
+    // bloom active from superstep 0; shards refresh at the compaction
+    // cadence (every 2 supersteps)
+    val cfg = CrawlConfig(workDir = dir,
+      useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1,
+      compactEvery = 2, seenBuckets = 4)
+
+    val e1 = new FrontierEngine(spark, store, cfg.copy(maxSupersteps = 3))
+    e1.run()
+    assert(e1.lastBloomInit == "built-shards",
+      s"first activation should build shards distributed, got ${e1.lastBloomInit}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "seen_blooms", "GENERATION")),
+      "shard generation not persisted")
+
+    // fresh engine ("new JVM"): blooms must LOAD, not rebuild from a
+    // full-table scan, and the crawl must still match the oracle
+    val e2 = new FrontierEngine(spark, store, cfg)
+    e2.run()
+    assert(e2.lastBloomInit == "loaded-shards",
+      s"resume should load persisted shards, got ${e2.lastBloomInit}")
+    val engRows = e2.frontierOrdered()
+      .select("url", "title", "pre_url", "isleaf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toVector
+    assert(engRows == sim.rows.map(r => (r.url, r.title, r.preUrl, r.isleaf)))
+    assert(e2.seenSet().select("url").collect().map(_.getString(0)).toSet == sim.seen)
+    val engOrder = e2.crawlOrder().select("url").collect().map(_.getString(0)).toVector
+    assert(engOrder == sim.crawlOrder, "crawl order differs with sharded blooms")
+  }
+
   test("parallelism invariance: same result at 2 fetch partitions") {
     engineVsSim(WebSpec(nCats = 30, nArticles = 40),
       c => c.copy(fetchPartitions = 2))

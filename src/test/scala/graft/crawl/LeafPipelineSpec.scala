@@ -157,6 +157,37 @@ class LeafPipelineSpec extends SparkSpec {
     assert(winner == Seq(Seq(u1, u2).min), "first in canonical work order wins")
   }
 
+  test("fidelityF4=false: same-titled articles crawl on EVERY host; same-host collisions still conflate") {
+    // multi-host web reusing one article title across hosts — the
+    // reference's title-only crawled key collapses them (r3's leaf
+    // bench lost 94% of a 32-host work list to exactly this)
+    val mh = WebSpec(nCats = 8, nArticles = 8, nHosts = 4, withBlocked = false)
+    val store = new PageStore(mh)
+    val sameTitle = (0 until 4)
+      .map(hc => (s"https://host$hc.graft.example/wiki/A1", "A1条目"))
+      .toDF("url", "title")
+
+    // faithful (default): ONE of the four is fetched, ever
+    val lpF = new LeafPipeline(spark, store,
+      CrawlConfig(workDir = tmpDir("f4_faith"), useBloom = false))
+    assert(lpF.run(sameTitle) == 1, "faithful mode must conflate across hosts")
+
+    // multi-host-safe: all four fetch; re-run still skips all
+    val lpN = new LeafPipeline(spark, store,
+      CrawlConfig(workDir = tmpDir("f4_safe"), useBloom = false, fidelityF4 = false))
+    assert(lpN.run(sameTitle) == 4, "non-faithful mode must crawl every host")
+    assert(lpN.run(sameTitle) == 0, "cross-run skip must still hold per (host, title)")
+
+    // same-host sanitize collision conflates in BOTH modes (the quirk
+    // fidelityF4=false removes is only the cross-host one)
+    val sameHost = Seq(
+      (store.articleUrl(0, 1), "A1:x"),
+      (store.articleUrl(0, 2), "A1-x")).toDF("url", "title")
+    val lpN2 = new LeafPipeline(spark, store,
+      CrawlConfig(workDir = tmpDir("f4_safe2"), useBloom = false, fidelityF4 = false))
+    assert(lpN2.run(sameHost) == 1, "same-host sanitize collision must still conflate")
+  }
+
   test("metrics backfill: a docs commit orphaned by a crash is re-metered on resume") {
     import org.apache.spark.sql.functions.sum
     val store = new PageStore(spec)
