@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.crawl.{CrawlConfig, FrontierEngine, LeafPipeline, PageStore, RobotsPolicy, WebSpec}
 import graft.functions.UrlFunctions.hostOf
-import org.apache.spark.sql.functions.{col, concat, lit, pmod, udf, xxhash64}
+import org.apache.spark.sql.functions.{array, col, concat, count, explode, lit, pmod, udf, when, xxhash64}
 
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
@@ -264,11 +264,18 @@ object Bench {
     def shardBody: Long =
       FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"),
         Some(shardStore.probeCol(Seq(col("url"))))).count()
-    // warm-up (JIT + parquet footer cache), then ≥5 INTERLEAVED trials
-    // per path: interleaving means a throttle window degrades all
-    // paths rather than silently biasing whichever ran inside it
-    exactBody; bloomBody; shardBody
-    val trials = (1 to 5).map { _ =>
+    // warm-up (JIT + parquet footer cache), then INTERLEAVED trials per
+    // path: interleaving means a throttle window degrades all paths
+    // rather than silently biasing whichever ran inside it. At the
+    // 10^9 ladder point each anti-join spills tens of GB of shuffle
+    // files that outlive the job (cleaned only on GC), so trials drop
+    // to 1 and the warm-up is skipped — the artifact records the
+    // trial count, and the per-pass steal field carries the context a
+    // best-of-N would otherwise provide.
+    val huge = nSeen >= 300000000
+    val nTrials = if (huge) 1 else 5
+    if (!huge) { exactBody; bloomBody; shardBody }
+    val trials = (1 to nTrials).map { _ =>
       (measured(exactBody), measured(bloomBody), measured(shardBody))
     }
     val (nExact, exactSec, exactSteal, exactBytes) = trials.map(_._1).minBy(_._2)
@@ -324,6 +331,56 @@ object Bench {
       "jaccard_prefix_join_rows" -> prefix,
       "jaccard_candidate_pairs" -> candPairs.toDouble
     )
+  }
+
+  /** ANN recall@k at bench scale: fraction of the brute-force top-k
+    * neighbors each LSH variant recovers, averaged over the query set.
+    * Deterministic counts — steal-proof — so the recall/cost dial of
+    * the LSH path is pinned in the committed artifact, not just at the
+    * toy scale of the unit specs.
+    *
+    * Each recall is reported NEXT TO the fraction of the candidate set
+    * the variant actually scanned — recall alone is meaningless for a
+    * pruning index (a random sample of the same size would score
+    * candidate_frac by chance). The testdata embeddings are near-
+    * uniform, the hardest case for hyperplane LSH: the honest headline
+    * is the recall ÷ candidate-fraction lift, not the absolute. */
+  def annRecallBench(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 64): Map[String, Double] = {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count().toDouble
+    val q = e.filter(col("vec_id") < nQueries)
+    val brute = Similarity.bruteForceTopK(e, q, k)
+      .select("query_id", "vec_id").persist()
+    val denom = brute.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      brute.join(ann.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_semi").count() / denom
+    // candidate volume actually scanned by each variant: bucket-size
+    // sums over the query buckets (minus the query itself for the
+    // single-bucket probe)
+    val sizes = e.select(Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+    val qb = q.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("bucket0"))
+    val lshCand = qb.join(sizes, col("bucket0") === col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("sz") - 1)).head().getLong(0).toDouble
+    val probes = explode(array((0 to 8).map { i =>
+      if (i == 0) col("bucket0") else col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
+    }: _*)).as("probe")
+    val mpCand = qb.select(col("vec_id"), col("bucket0"), probes)
+      .join(sizes, col("probe") === col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(
+        when(col("probe") === col("bucket0"), col("sz") - 1).otherwise(col("sz"))))
+      .head().getLong(0).toDouble
+    val out = Map(
+      s"ann_lsh_recall_at_$k" -> recall(Similarity.lshTopK(e, q, k)),
+      s"ann_multiprobe_recall_at_$k" -> recall(Similarity.lshTopKMultiProbe(e, q, k)),
+      "ann_lsh_candidate_frac" -> lshCand / (nQueries * (n - 1)),
+      "ann_multiprobe_candidate_frac" -> mpCand / (nQueries * (n - 1)),
+      "ann_recall_queries" -> nQueries.toDouble)
+    brute.unpersist()
+    out
   }
 
   /** Politeness-bound fetch throughput — the BASELINE.json headline
@@ -435,6 +492,7 @@ object Bench {
           nCand = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP_CAND", "10000000").toInt)
       } ++
       jaccardBench(spark, sfDir) ++
+      annRecallBench(spark, sfDir) ++
       retryOnSteal("crawl", "crawl_urls_per_sec", maxTries = 2) {
         crawlBench(spark, crawlCats, nHosts = 32)
       }

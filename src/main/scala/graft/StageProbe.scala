@@ -14,6 +14,10 @@ object StageProbe {
       val rows = args.lift(3).map(_.toInt).getOrElse(10000000)
       val m = Bench.dedupBench(spark, nSeen = rows, nCand = rows)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "recall") {
+      val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
+      val m = Bench.annRecallBench(spark, sfDir)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "crawl") {
       val m = Bench.crawlBench(spark, nUrls, nHosts = 32)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))

@@ -793,7 +793,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   private def lineageNextSeq(l: String): Long =
     l.split(' ').collectFirst { case s if s.startsWith("nextSeq=") =>
       s.stripPrefix("nextSeq=").toLong
-    }.getOrElse(0L)
+    }.getOrElse {
+      // bootstrap path: a queue written by an EXTERNAL ingester (e.g.
+      // a streaming IceLiteSink append) carries no nextSeq metadata —
+      // derive it from the data so batch supersteps continue the
+      // global crawl order seamlessly from streamed state
+      if (queue.isEmpty) 0L
+      else queue.read().agg(max(col("seq"))).head().getLong(0) + 1
+    }
 
   /** Frontier rows in exact Tot_urls/CSV order (for oracle compare). */
   def frontierOrdered(): DataFrame =

@@ -173,8 +173,38 @@ final class PageStore(val spec: WebSpec) extends Serializable {
     sb.toString
   }
 
-  /** Infobox variants cycling through the restricted branch set. */
-  private def infoboxHtml(a: Int, v: Long): String = (v % 6) match {
+  /** Infobox variants cycling through the restricted branch set
+    * (incl. the td-as-key special cases, `zhwiki_leafs.py:1160-1327`). */
+  private def infoboxHtml(a: Int, v: Long): String = (v % 10) match {
+    case 6 => // mergedrow rows: 1-td-with-b second key, 2-td third keys
+      s"""<table class="infobox"><tbody>
+          <tr><th>河流A$a</th></tr>
+          <tr><th style="background:#ccf">水文</th></tr>
+          <tr class="mergedrow"><td>起點</td><td>山區值</td></tr>
+          <tr class="mergedrow"><td><b>支流</b></td></tr>
+          <tr class="mergedrow"><td>左支</td><td><a href="/wiki/A${(a + 1) % spec.nArticles}" title="溪">溪一</a></td></tr>
+          </tbody></table>"""
+    case 7 => // direct-child <b> and span.nowrap 2-td rows → third keys
+      s"""<table class="infobox"><tbody>
+          <tr><th>艦級A$a</th></tr>
+          <tr><th style="background:#dde">概況</th></tr>
+          <tr><td><b>建造者</b></td><td>船廠值</td></tr>
+          <tr><td><span class="nowrap">服役年</span></td><td>1989年</td></tr>
+          </tbody></table>"""
+    case 8 => // #f0f0f0-background table: 2-td rows key on first td
+      s"""<table class="infobox" style="background-color:#f0f0f0"><tbody>
+          <tr><th>性質</th><td>無色液體</td></tr>
+          <tr><td>熔點</td><td>-31 °C</td></tr>
+          <tr><td>沸點</td><td>180 °C</td></tr>
+          </tbody></table>"""
+    case 9 => // centered bold #cddeff second key + single bold-bg td key
+      s"""<table class="infobox"><tbody>
+          <tr><th>城市A$a</th></tr>
+          <tr><td style="text-align:center; background-color:#cddeff; font-weight:bold">市象徵</td></tr>
+          <tr><th>市花</th><td>梅花</td></tr>
+          <tr><td style="background:#eee; text-align:center"><b>主要領導</b></td></tr>
+          <tr><th>市長</th><td>李甲</td></tr>
+          </tbody></table>"""
     case 5 => // nested table inside a td (F11 our_merge_dict path)
       s"""<table class="infobox"><tbody>
           <tr><th>主欄</th><td>外層文字<table><tbody>

@@ -17,11 +17,16 @@ import HtmlScanner._
   * (`:961-980`), th-only row with background/navbox-title/text-align
   * styles (`:982-1059`), th+td rows incl. '•'-prefixed third/fourth
   * keys (`:1061-1129`), first-tr background-td first key
-  * (`:1134-1147`), td content: inline text/links with <br> splits,
-  * <b> sub-keys, ul/plainlist/hlist li lists, img entries, the
-  * e6e9ff/right/xx-small template filter (`:331-335`), 封面图片 /
-  * td_content default heads, border-top should_under_first_key, and
-  * `clean_blank_table_info` (`:218-231`).
+  * (`:1134-1147`), the td-as-key special cases (`:1160-1327`):
+  * single centered bold-background td, direct-child <b> /
+  * span.nowrap 2-td rows, #f0f0f0-background tables, centered bold
+  * #cddeff tds, and tr.mergedrow 1-/2-td rows — each opening a
+  * second/third key level from a TD; td content: inline text/links
+  * with <br> splits, <b> sub-keys, ul/plainlist/hlist li lists, img
+  * entries, the e6e9ff/right/xx-small template filter (`:331-335`),
+  * 封面图片 / td_content default heads, border-top
+  * should_under_first_key, the 若非注明 data-source first-level
+  * override (`:1339`), and `clean_blank_table_info` (`:218-231`).
   */
 object InfoboxParser {
 
@@ -333,7 +338,14 @@ object InfoboxParser {
         }
       }
 
-      // td loop (`:1131-1368`)
+      // td loop (`:1131-1368`) incl. the td-as-key special cases
+      // (`:1160-1327`): real-wiki templates where a TD, not a TH,
+      // opens a new key level. A fresh key leaf from a td:
+      def tdKeyLeaf(e: HElem): (String, IDict) = {
+        val leaf = newLeaf()
+        addThLinks(leaf, resolveAnchors(pageUrl, basePreUrl, anchorsIn(e)))
+        (joinedStripped(e), leaf)
+      }
       var firstTd = true
       tds.foreach { td =>
         var handled = false
@@ -352,25 +364,132 @@ object InfoboxParser {
             tot(firstKey) = newLeaf()
           }
         }
+        // cleaned contents (reference `:1154-1159`): drop blank strings
+        lazy val cleanedContents = td.children.filter {
+          case HText(t) => t.trim.nonEmpty
+          case _        => true
+        }
+        // single centered bold background td → SECOND key (`:1161-1180`,
+        // the 中央军委...主要领导 template)
+        if (!handled && tds.length == 1 && cleanedContents.length == 1 &&
+          td.findFirst(_.name == "b").isDefined &&
+          styleOf(td).contains("background") && hasStyle(td, "text-align:\\s*center")) {
+          val (s, leaf) = tdKeyLeaf(td)
+          secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+          secondKeyBackground = true
+          thirdKey = ""; fourthKey = ""
+          dictAt(Seq(firstKey))(secondKey) = leaf
+          firstTd = false; handled = true
+        }
+        // 2-td row whose first td carries a DIRECT-child <b> → third key
+        // (`:1183-1203`, the 09V型核潜艇 template); falls through when no
+        // second key is open (the reference only acts inside the guard)
+        if (!handled && th.isEmpty && firstTd && tds.length == 2 &&
+          td.childElems.exists(_.name == "b") && secondKey.nonEmpty) {
+          val (s, leaf) = tdKeyLeaf(td)
+          thirdKey = checkRepeatKey(s, dictAt(Seq(firstKey, secondKey)).keys)
+          fourthKey = ""
+          dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          firstTd = false; tdToThirdKey = true; handled = true
+        }
+        // same shape keyed by a direct-child span.nowrap (`:1205-1225`,
+        // the 北美水獺 template)
+        if (!handled && th.isEmpty && firstTd && tds.length == 2 &&
+          td.childElems.exists(e => e.name == "span" && e.classes.contains("nowrap")) &&
+          secondKey.nonEmpty) {
+          val (s, leaf) = tdKeyLeaf(td)
+          thirdKey = checkRepeatKey(s, dictAt(Seq(firstKey, secondKey)).keys)
+          fourthKey = ""
+          dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          firstTd = false; tdToThirdKey = true; handled = true
+        }
+        // #f0f0f0-background TABLE: 2-td rows key on their first td —
+        // third key under an open th-set second key, else a new second
+        // key per row (`:1227-1262`, the 1,3-丙磺酸内酯 chembox)
+        if (!handled && th.isEmpty && firstTd && tds.length == 2 &&
+          hasStyle(table, "background-color:\\s*#f0f0f0")) {
+          val (s, leaf) = tdKeyLeaf(td)
+          if (secondKey.nonEmpty && !tdToSecondKey) {
+            thirdKey = checkRepeatKey(s, dictAt(Seq(firstKey, secondKey)).keys)
+            fourthKey = ""
+            dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+            tdToSecondKey = false; tdToThirdKey = true
+          } else {
+            secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+            thirdKey = ""; fourthKey = ""
+            dictAt(Seq(firstKey))(secondKey) = leaf
+            tdToSecondKey = true; tdToThirdKey = false
+          }
+          firstTd = false; handled = true
+        }
+        // centered bold #cddeff td → second key, no row-shape guard
+        // (`:1264-1283`, the 北京市-市象征 template)
+        if (!handled && hasStyle(td, "text-align:\\s*center") &&
+          hasStyle(td, "background-color:\\s*#cddeff") &&
+          hasStyle(td, "font-weight:\\s*bold")) {
+          val (s, leaf) = tdKeyLeaf(td)
+          secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+          thirdKey = ""; fourthKey = ""
+          dictAt(Seq(firstKey))(secondKey) = leaf
+          secondKeyBackground = true
+          firstTd = false; handled = true
+        }
+        // tr.mergedrow, 2 tds: first td → third key under an open second
+        // key, else a new second key (`:1285-1311`)
+        if (!handled && firstTd && tds.length == 2 && tr.classes.contains("mergedrow")) {
+          val (s, leaf) = tdKeyLeaf(td)
+          if (secondKey.nonEmpty) {
+            thirdKey = checkRepeatKey(s, dictAt(Seq(firstKey, secondKey)).keys)
+            fourthKey = ""
+            dictAt(Seq(firstKey, secondKey))(thirdKey) = leaf
+          } else {
+            secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+            thirdKey = ""; fourthKey = ""
+            dictAt(Seq(firstKey))(secondKey) = leaf
+            tdToSecondKey = true; tdToThirdKey = false
+          }
+          firstTd = false; handled = true
+        }
+        // tr.mergedrow, single td with a <b> → second key (`:1313-1327`,
+        // the 浊水溪-支流 template)
+        if (!handled && firstTd && tds.length == 1 && tr.classes.contains("mergedrow") &&
+          td.findFirst(_.name == "b").isDefined) {
+          val (s, leaf) = tdKeyLeaf(td)
+          secondKey = checkRepeatKey(s, dictAt(Seq(firstKey)).keys)
+          thirdKey = ""; fourthKey = ""
+          dictAt(Seq(firstKey))(secondKey) = leaf
+          firstTd = false; handled = true
+        }
         if (!handled) {
           tdContents(pageUrl, basePreUrl, td) match {
             case None => firstTd = false
             case Some((tdDict, head, shouldUnderFirst)) =>
-              // attach with repeat-suffix at the chosen level (`:1336-1367`)
-              // reference condition `:1339`: second=="" or (under_first and
-              // not bg-second) or (under_first and table-th-bg); the
-              // table-th-bg flag comes only from NavFrame/toccolours
-              // branches outside the restricted grammar (always false here)
+              // attach with repeat-suffix at the chosen level
+              // (`:1336-1367`). The reference's suffix scan (`:1339`)
+              // and attach (`:1358`) use slightly DIFFERENT conditions
+              // — the suffix level ignores td_to_third_key — and that
+              // asymmetry is reproduced here. The is_table_th_background
+              // flag comes only from NavFrame/toccolours branches
+              // outside the restricted grammar (always false here); the
+              // 若非注明 data-source footer forces first-level attach.
+              val underFirst = secondKey.isEmpty ||
+                (shouldUnderFirst && !secondKeyBackground) ||
+                td.text.contains("若非注明，所有数据均出自")
+              val suffixDict: IDict =
+                if (underFirst) dictAt(Seq(firstKey))
+                else if (thirdKey.isEmpty || (th.isEmpty && secondKeyBackground))
+                  dictAt(Seq(firstKey, secondKey))
+                else if (fourthKey.isEmpty) dictAt(Seq(firstKey, secondKey, thirdKey))
+                else dictAt(Seq(firstKey, secondKey, thirdKey, fourthKey))
               val target: IDict =
-                if (secondKey.isEmpty || (shouldUnderFirst && !secondKeyBackground))
-                  dictAt(Seq(firstKey))
+                if (underFirst) dictAt(Seq(firstKey))
                 else if (thirdKey.isEmpty || (th.isEmpty && secondKeyBackground && !tdToThirdKey))
                   dictAt(Seq(firstKey, secondKey))
                 else if (fourthKey.isEmpty) dictAt(Seq(firstKey, secondKey, thirdKey))
                 else dictAt(Seq(firstKey, secondKey, thirdKey, fourthKey))
               var key = head
               var cnt = 2
-              while (target.keys.contains(key)) { key = head + "_" + cnt; cnt += 1 }
+              while (suffixDict.keys.contains(key)) { key = head + "_" + cnt; cnt += 1 }
               target(key) = tdDict
               firstTd = false
           }

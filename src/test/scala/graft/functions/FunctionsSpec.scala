@@ -25,6 +25,12 @@ class FunctionsSpec extends AnyFunSuite {
   test("zhHans maps only table chars") {
     assert(zhHans("中國歷史") == "中国历史")
     assert(zhHans("abc") == "abc")
+    // r4-widened coverage: common chars outside the original 30
+    assert(zhHans("這是一個關於臺灣經濟發展的條目") == "这是一个关于台湾经济发展的条目")
+    assert(zhHans("圖書館讓學生閱讀報紙與雜誌") == "图书馆让学生阅读报纸与杂志")
+    // many-to-one is legal: 發/髮 and 復/複 both simplify identically
+    assert(zhHans("頭髮") == "头发" && zhHans("出發") == "出发")
+    assert(zhHans("復興複雜") == "复兴复杂")
   }
 
   test("quote/unquote round-trip like Python") {

@@ -152,4 +152,86 @@ class HtmlSpec extends AnyFunSuite {
     assert(json.contains("\"• 子項\""))      // bullet third key
     assert(json.contains("內容一") && json.contains("內容二"))
   }
+
+  // ---- X7 td-as-key special cases (`zhwiki_leafs.py:1160-1327`) ----
+
+  private val Base = "https://zh.wikipedia.org"
+  private def parseBox(html: String): InfoboxParser.IDict = {
+    val table = HtmlScanner.parse(html).findFirst(_.name == "table").get
+    InfoboxParser.parse(s"$Base/wiki/X", Base, table)
+  }
+  private def sub(d: InfoboxParser.IDict, k: String): InfoboxParser.IDict =
+    d(k).asInstanceOf[InfoboxParser.IDict]
+  private def listOf(d: InfoboxParser.IDict, k: String): Seq[String] =
+    d(k).asInstanceOf[InfoboxParser.IList].items.toSeq
+
+  test("infobox: mergedrow rows — 2-td first-td keys, 1-td <b> second key (09V/浊水溪 shapes)") {
+    val d = parseBox(
+      """<table class="infobox"><tbody>
+         <tr><th>河流</th></tr>
+         <tr><th style="background:#ccf">水文</th></tr>
+         <tr class="mergedrow"><td>起點</td><td>山區值</td></tr>
+         <tr class="mergedrow"><td><b>支流</b></td></tr>
+         <tr class="mergedrow"><td>左支</td><td><a href="/wiki/A1" title="溪">溪一</a></td></tr>
+         </tbody></table>""")
+    val first = sub(d, "河流")
+    val shuiwen = sub(first, "水文")
+    // mergedrow 2-td: first td becomes a third key under the open bg
+    // second key; its VALUE td attaches at the second level because the
+    // mergedrow branch does not set td_to_third_key (reference `:1285-1311`
+    // quirk, attach condition `:1358`)
+    assert(shuiwen.keys.contains("起點"))
+    assert(listOf(sub(shuiwen, "td_content"), "list") == Seq("山區值"))
+    // mergedrow single td with <b>: a NEW second key
+    val zhiliu = sub(first, "支流")
+    assert(zhiliu.keys.contains("左支"))
+    assert(listOf(sub(zhiliu, "td_content"), "links") == Seq(s"$Base/wiki/A1"))
+  }
+
+  test("infobox: direct-child <b> / span.nowrap 2-td rows open third keys (09V/北美水獺 shapes)") {
+    val d = parseBox(
+      """<table class="infobox"><tbody>
+         <tr><th>艦級</th></tr>
+         <tr><th style="background:#dde">概況</th></tr>
+         <tr><td><b>建造者</b></td><td>船廠值</td></tr>
+         <tr><td><span class="nowrap">服役年</span></td><td>1989年</td></tr>
+         </tbody></table>""")
+    val gaikuang = sub(sub(d, "艦級"), "概況")
+    // the <b>-keyed branch DOES set td_to_third_key, so the value td
+    // attaches under the third key (unlike the mergedrow quirk above)
+    assert(listOf(sub(sub(gaikuang, "建造者"), "td_content"), "list") == Seq("船廠值"))
+    assert(listOf(sub(sub(gaikuang, "服役年"), "td_content"), "list") == Seq("1989年"))
+  }
+
+  test("infobox: #f0f0f0-background table keys 2-td rows on their first td (1,3-丙磺酸内酯 shape)") {
+    val d = parseBox(
+      """<table class="infobox" style="background-color:#f0f0f0"><tbody>
+         <tr><th>性質</th><td>無色液體</td></tr>
+         <tr><td>熔點</td><td>-31 °C</td></tr>
+         <tr><td>沸點</td><td>180 °C</td></tr>
+         </tbody></table>""")
+    val xz = sub(sub(d, "table_content"), "性質")
+    assert(listOf(sub(xz, "td_content"), "list") == Seq("無色液體"))
+    assert(listOf(sub(sub(xz, "熔點"), "td_content"), "list") == Seq("-31 °C"))
+    assert(listOf(sub(sub(xz, "沸點"), "td_content"), "list") == Seq("180 °C"))
+  }
+
+  test("infobox: #cddeff bold td and single bold-background td open second keys (北京市/军委 shapes)") {
+    val d = parseBox(
+      """<table class="infobox"><tbody>
+         <tr><th>城市</th></tr>
+         <tr><td style="text-align:center; background-color:#cddeff; font-weight:bold">市象徵</td></tr>
+         <tr><th>市花</th><td>梅花</td></tr>
+         <tr><td style="background:#eee; text-align:center"><b>主要領導</b></td></tr>
+         <tr><th>市長</th><td>李甲</td></tr>
+         </tbody></table>""")
+    val first = sub(d, "城市")
+    // #cddeff bold td → second key with background semantics: the next
+    // th+td row opens a THIRD key under it
+    val sym = sub(first, "市象徵")
+    assert(listOf(sub(sub(sym, "市花"), "td_content"), "list") == Seq("梅花"))
+    // single centered bold-background td → a fresh second key
+    val lead = sub(first, "主要領導")
+    assert(listOf(sub(sub(lead, "市長"), "td_content"), "list") == Seq("李甲"))
+  }
 }
