@@ -272,7 +272,9 @@ object Bench {
     // to 1 and the warm-up is skipped — the artifact records the
     // trial count, and the per-pass steal field carries the context a
     // best-of-N would otherwise provide.
-    val huge = nSeen >= 300000000
+    // 15 accumulated joins OOM'd the 48g heap at 10^8 (r4 measured)
+    // where r3's 10 fit — the 10^8+ points run one trial per path
+    val huge = nSeen >= 100000000
     val nTrials = if (huge) 1 else 5
     if (!huge) { exactBody; bloomBody; shardBody }
     val trials = (1 to nTrials).map { _ =>

@@ -715,14 +715,13 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         frontier.compact(cfg.compactTargetBytes, s"compact k=$k")
         // frontier mirror AFTER the frontier compaction so the file-diff
         // delta base is the post-compaction snapshot
-        frontierMirror.foreach { m =>
+        val frontierMirrorFiles: Seq[String] = frontierMirror.map { m =>
           m.refresh(
             frontier.read().filter(col("isleaf") === 1)
               .select(FrontierKeyCols.map(col): _*),
             frontier.currentVersion)
-          ()
-        }
-        seenMirror match {
+        }.getOrElse(Nil)
+        val seenMirrorFiles: Seq[String] = seenMirror match {
           case Some(m) =>
             // ONE rewrite serves both: the bucketed mirror refresh IS
             // the seen table's compaction — its files are adopted as
@@ -735,25 +734,28 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
             val adopted = seen.adoptFiles(files, s"compact-bucketed k=$k")
             require(adopted == vNew,
               s"concurrent seen write during mirror refresh: $adopted != $vNew")
+            files
           case None =>
             seen.compact(cfg.compactTargetBytes, s"compact k=$k")
+            Nil
         }
         metrics.compact(cfg.compactTargetBytes, s"compact k=$k")
         order.compact(cfg.compactTargetBytes, s"compact k=$k")
-        // sharded blooms refresh from the just-compacted state (one
-        // distributed pass each, tasks write their own shards); the
-        // recent-delta blooms reset — the new shard generation covers
-        // everything committed, so driver bloom memory stays bounded
-        // by one compaction cycle's deltas, not the crawl
+        // sharded blooms rebuild ZERO-SHUFFLE from the mirrors' freshly
+        // written bucket files (the mirror writer already routed every
+        // row by the same murmur3(keys) % buckets — one single-task job
+        // per bucket); the recent-delta blooms reset — the new shard
+        // generation covers everything committed, so driver bloom
+        // memory stays bounded by one compaction cycle's deltas, not
+        // the crawl
         if (bloomActive && bloomsReady) {
           seenShards.foreach { ss =>
-            ss.refresh(seen.read().select("url"), seen.currentVersion, perShardExpected)
+            ss.refreshFromBucketedFiles(spark, seenMirrorFiles,
+              seen.currentVersion, perShardExpected)
             seenBloom = None
           }
           leafShards.foreach { ls =>
-            ls.refresh(
-              frontier.read().filter(col("isleaf") === 1)
-                .select(FrontierKeyCols.map(col): _*),
+            ls.refreshFromBucketedFiles(spark, frontierMirrorFiles,
               frontier.currentVersion, perShardExpected)
             leafBloom = None
           }

@@ -95,6 +95,60 @@ final class BloomShardStore(
     counts
   }
 
+  /** Shard build from a bucketed mirror's data files — the zero-shuffle
+    * path. The mirror's writer already routed every row to its bucket
+    * file with the same pmod(murmur3(keys), buckets) this store probes
+    * by, so each shard can be built by reading ONE file: one tiny
+    * single-task Spark job per bucket, submitted from a bounded pool.
+    * At the 10^10 design point this halves the compaction cycle's I/O —
+    * the repartition-based [[refresh]] would re-shuffle the full key
+    * projection that the mirror refresh just shuffled. Buckets with no
+    * file (empty after repartition) get an empty shard so the probe
+    * contract (no missing files) holds. */
+  def refreshFromBucketedFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], v: Int, expectedItemsPerShard: Long,
+      fpp: Double = 0.01): Long = {
+    val out = genDir(v)
+    Files.createDirectories(out)
+    val (dirStr, exp, f) = (out.toString, math.max(1024L, expectedItemsPerShard), fpp)
+    val byBucket: Map[Int, Seq[String]] = files.groupBy(BloomShardStore.bucketIdOf)
+    require(!byBucket.contains(-1),
+      s"refreshFromBucketedFiles: non-bucketed file name among ${files.take(3)}")
+    val keyCols = keys
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, byBucket.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = byBucket.toSeq.map { case (b, fs) =>
+      scala.concurrent.Future {
+        val keyed = spark.read.parquet(fs: _*)
+          .select(concat_ws(BloomShardStore.KeySep, keyCols.map(col): _*).as("k"))
+          .coalesce(1)
+        keyed.queryExecution.toRdd.mapPartitions { it =>
+          val bf = BloomFilter.create(exp, f)
+          var n = 0L
+          it.foreach { row => bf.putString(row.getString(0)); n += 1 }
+          BloomShardStore.writeShard(dirStr, b, bf)
+          Iterator.single(n)
+        }.collect().sum
+      }
+    }
+    val total = futures.map(fu =>
+      scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf)).sum
+    pool.shutdown()
+    // empty buckets: write empty shards driver-side (tiny)
+    (0 until buckets).filterNot(byBucket.contains).foreach { b =>
+      BloomShardStore.writeShard(dirStr, b, BloomFilter.create(exp, f))
+    }
+    val tmp = root.resolve(".GENERATION.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, genPointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(v)
+    BloomShardStore.evictPrefix(root.toString)
+    total
+  }
+
   /** Probe column: true iff this row's shard MIGHT contain its key.
     * The shard id is computed with Catalyst's own murmur3 `hash`, so it
     * agrees with the refresh-side repartition by construction; the
@@ -133,6 +187,25 @@ object BloomShardStore {
   /** Key separator for multi-column keys — matches the engine's
     * recent-delta bloom keying (concat_ws of the same columns). */
   val KeySep = ""
+
+  private val BucketFileRe = "_(\\d{5})\\.".r
+
+  /** Bucket id from a Spark bucketed-table file name
+    * (part-00000-<uuid>_00003.c000.snappy.parquet → 3), −1 if absent. */
+  def bucketIdOf(path: String): Int = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    BucketFileRe.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(-1)
+  }
+
+  /** Atomic shard write (tmp + move). */
+  private[tables] def writeShard(genDir: String, bucket: Int, bf: BloomFilter): Unit = {
+    val tmp = Paths.get(genDir, s".shard-$bucket-${java.util.UUID.randomUUID}.tmp")
+    val os = Files.newOutputStream(tmp)
+    try bf.writeTo(os) finally os.close()
+    Files.move(tmp, Paths.get(genDir, s"shard-$bucket.bloom"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** JVM-wide shard cache: one disk read per (generation dir, bucket)
     * per executor JVM. Bounded by the shards an executor actually

@@ -43,6 +43,22 @@ class BloomShardStoreSpec extends SparkSpec {
     assert(all.filter(!store.probeCol(Seq(col("url")))).count() == 0)
   }
 
+  test("zero-shuffle build from a bucketed mirror's files agrees with probe routing") {
+    val dir = tmpDir("blooms4")
+    val mirror = new BucketedMirror(spark, s"$dir/mirror",
+      s"graft_bsbtest_${(System.nanoTime() % 1000000)}", 8, Seq("url"), "url STRING")
+    val urls = (1 to 4000).map(i => s"https://h${i % 31}.example/wiki/B$i")
+    val files = mirror.refresh(urls.toDF("url"), 1)
+    assert(files.forall(f => BloomShardStore.bucketIdOf(f) >= 0),
+      "mirror files must carry bucket ids in their names")
+    val store = new BloomShardStore(s"$dir/blooms", 8, Seq("url"))
+    assert(store.refreshFromBucketedFiles(spark, files, 1, 1000) == 4000L)
+    // every key routed by the PROBE's hash must land in the shard the
+    // MIRROR's writer put it in — no false negatives means the two
+    // routings agree file-for-file
+    assert(urls.toDF("url").filter(!store.probeCol(Seq(col("url")))).count() == 0)
+  }
+
   test("multi-column keys route and probe consistently") {
     val dir = tmpDir("blooms3")
     val keys = Seq("url", "title", "pre_url", "isleaf")
