@@ -174,8 +174,59 @@ final class PageStore(val spec: WebSpec) extends Serializable {
   }
 
   /** Infobox variants cycling through the restricted branch set
-    * (incl. the td-as-key special cases, `zhwiki_leafs.py:1160-1327`). */
-  private def infoboxHtml(a: Int, v: Long): String = (v % 10) match {
+    * (incl. the td-as-key special cases, `zhwiki_leafs.py:1160-1327`,
+    * and — r4 — the NavFrame / street-address / table_td / span-head /
+    * single-div-b families, `:368-610,611-768,841-884`). */
+  private def infoboxHtml(a: Int, v: Long): String = (v % 16) match {
+    case 10 => // direct NavFrame: bg+center NavHead → first-level attach
+      s"""<table class="infobox"><tbody>
+          <tr><th>路網A$a</th></tr>
+          <tr><th style="background:#ddd">營運中</th></tr>
+          <tr><td><div class="NavFrame"><div class="NavHead" style="background:#eee; text-align:center">主線</div>
+          <ul class="NavContent"><li>甲段<br/>乙段</li>
+          <li><div class="plainlist">丙段<a href="/wiki/A${(a + 4) % spec.nArticles}" title="站">站鏈</a></div></li>
+          </ul></div></td></tr>
+          </tbody></table>"""
+    case 11 => // street-address span + width-50% p middle key
+      s"""<table class="infobox"><tbody>
+          <tr><th>機構A$a</th></tr>
+          <tr><th>地址</th><td><span class="street-address">郵區<b>總部</b>大道${a}號<a href="/wiki/A${(a + 5) % spec.nArticles}" title="市">城市</a></span></td></tr>
+          <tr><th>參戰方</th><td style="width: 50%"><p>同盟<a href="/wiki/A${(a + 6) % spec.nArticles}" title="s">方</a></p>部隊甲<br/>部隊乙</td></tr>
+          </tbody></table>"""
+    case 12 => // descendant NavFrames: shared head → _2 dedup
+      s"""<table class="infobox"><tbody>
+          <tr><th>體系A$a</th></tr>
+          <tr><td><div class="wrap"><div class="NavFrame"><div class="NavHead">支系</div>
+          <ul class="NavContent"><li>系甲<a href="/wiki/A${(a + 7) % spec.nArticles}" title="鏈">鏈一</a></li></ul></div>
+          <div class="NavFrame"><div class="NavHead">支系</div>
+          <ul class="NavContent"><li>系乙</li></ul></div></div></td></tr>
+          </tbody></table>"""
+    case 13 => // toccolours single-tr keyless table → table_td_N walk
+      s"""<table class="infobox"><tbody>
+          <tr><th>幹線A$a</th></tr>
+          <tr><th style="background:#ccf">走向</th></tr>
+          <tr><td><table class="toccolours"><tbody><tr>
+          <td><div class="w"><p><b>北段</b>起站$a<br/>迄站</p><ul><li>支線一</li></ul></div></td>
+          <td>沿線說明<br/>續說明<img src="//upload.graft/tt$a.png" alt="線圖"/></td>
+          </tr></tbody></table></td></tr>
+          </tbody></table>"""
+    case 14 => // single-div-b 网站 head + first-content span-with-b head
+      s"""<table class="infobox"><tbody>
+          <tr><th>公司A$a</th></tr>
+          <tr><th style="background:#dde">資料</th></tr>
+          <tr><td><div class="w"><b>官方网站</b>example$a.org<div class="x">備用站</div></div></td></tr>
+          <tr><td><span class="h"><b>格言</b></span>團結奮進$a</td></tr>
+          </tbody></table>"""
+    case 15 => // navbar-mini skip + 封面图片 two-div + nested th/td bg table
+      s"""<table class="infobox"><tbody>
+          <tr><th>學校A$a</th></tr>
+          <tr><td><div class="c1"><img src="//upload.graft/cov$a.png" alt="封面"/></div><div class="c2">校景說明</div></td></tr>
+          <tr><th style="background:#eed">沿革</th></tr>
+          <tr><td>概述<div class="plainlinks hlist navbar mini"><a href="/wiki/Template:Nav" title="查">查</a></div><table><tbody>
+          <tr><th style="background:#eef">位置</th></tr>
+          <tr><th>校區</th><td>東區$a</td></tr>
+          </tbody></table></td></tr>
+          </tbody></table>"""
     case 6 => // mergedrow rows: 1-td-with-b second key, 2-td third keys
       s"""<table class="infobox"><tbody>
           <tr><th>河流A$a</th></tr>

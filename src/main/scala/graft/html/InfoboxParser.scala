@@ -23,10 +23,25 @@ import HtmlScanner._
   * #cddeff tds, and tr.mergedrow 1-/2-td rows — each opening a
   * second/third key level from a TD; td content: inline text/links
   * with <br> splits, <b> sub-keys, ul/plainlist/hlist li lists, img
-  * entries, the e6e9ff/right/xx-small template filter (`:331-335`),
-  * 封面图片 / td_content default heads, border-top
-  * should_under_first_key, the 若非注明 data-source first-level
-  * override (`:1339`), and `clean_blank_table_info` (`:218-231`).
+  * entries, the navbar-mini skip (`:368-372`), direct NavFrame
+  * (`:373-473`: NavHead keys, ul/div NavContent, per-li plainlist
+  * walk, nested get_table_info_3, the links_title-as-ori quirk),
+  * width-50% <p> middle keys (`:475-479`), span.street-address
+  * b-keyed sub-dicts (`:504-547`), first-content span-with-<b> head
+  * (`:548-549`), descendant NavFrames with display:none skip
+  * (`:561-610`), the full nested-table branch (`:611-783`:
+  * single-tr/no-th `table_td_N` walk with toccolours flags and
+  * div>p/ul content, else get_table_info_3 keys via check_repeat_key
+  * plus the th-background is_table_th_background flag),
+  * single-div-with-direct-<b> heads incl. the 网站 under-first rule
+  * and the NavFrame '\n' prefix quirk (`:841-884`), the
+  * e6e9ff/right/xx-small template filter (`:331-335`),
+  * 封面图片 / td_content default heads (all four shapes,
+  * `:337-345`), border-top / two-div-img should_under_first_key
+  * (`:347-352`), the 若非注明 data-source first-level override
+  * (`:1339`), is_table_th_background threading into the attach
+  * conditions (`:1340,1360`), and `clean_blank_table_info`
+  * (`:218-231`).
   */
 object InfoboxParser {
 
@@ -110,9 +125,38 @@ object InfoboxParser {
     * recurring `str_re("\n".join(list(x.stripped_strings)))`. */
   private def joinedStripped(e: HElem): String = strRe(e.strippedStrings.mkString("\n"))
 
-  /** `get_td_contents` (`zhwiki_leafs.py:316-918`) restricted subset.
-    * Returns (dict or null, defaultTdHead, shouldUnderFirstKey). */
-  def tdContents(pageUrl: String, base: String, td: HElem): Option[(IDict, String, Boolean)] = {
+  /** Links extended with the reference's NavFrame quirk: links_ori_title
+    * receives links_TITLE (`zhwiki_leafs.py:433,472`). */
+  private def extendLinksQuirk(d: IDict, links: Seq[ResolvedLink]): Unit = {
+    d("links").asInstanceOf[IList].items ++= links.map(_.url)
+    d("links_title").asInstanceOf[IList].items ++= links.map(_.title)
+    d("links_ori_title").asInstanceOf[IList].items ++= links.map(_.title)
+  }
+
+  /** Plain repeat-key loop WITHOUT the empty_key mapping — the NavFrame
+    * and table_td key dedups inline this (`:385-389,627-632`) instead of
+    * calling check_repeat_key. */
+  private def dedupKey(k: String, keys: collection.Set[String]): String = {
+    var nk = k; var cnt = 2
+    while (keys.contains(nk)) { nk = k + "_" + cnt; cnt += 1 }
+    nk
+  }
+
+  private def imgEntry(d: IDict, e: HElem): Unit = { // `:745-757,885-896`
+    var src = e.attr("src").getOrElse("")
+    if (src.startsWith("//")) src = "https:" + src
+    var alt = e.attr("alt").getOrElse("")
+    if (alt.isEmpty) alt = src.split("wikipedia/").last
+    d("links").asInstanceOf[IList].items += src
+    d("links_title").asInstanceOf[IList].items += alt
+    d("links_ori_title").asInstanceOf[IList].items += alt
+  }
+
+  /** `get_td_contents` (`zhwiki_leafs.py:316-918`).
+    * Returns (dict or None, defaultTdHead, shouldUnderFirstKey,
+    * isTableThBackground). */
+  def tdContents(pageUrl: String, base: String, td: HElem)
+      : Option[(IDict, String, Boolean, Boolean)] = {
     // drop pure-whitespace text children (reference `:318-322`)
     val contents = td.children.filter {
       case HText(t) => t.trim.nonEmpty
@@ -126,10 +170,12 @@ object InfoboxParser {
     val d = newLeaf()
     var defaultHead = "td_content"
     var shouldUnderFirst = false
+    var isTableThBg = false
     var listAdd = ""
     var tdMiddleB = ""
 
     def elemAt(i: Int): Option[HElem] = contents.lift(i).collect { case e: HElem => e }
+    def directDivs(e: HElem): Vector[HElem] = e.childElems.filter(_.name == "div")
 
     // default_td_head shapes (`:337-345`)
     if (contents.length == 2 && elemAt(0).exists(_.name == "a") && elemAt(1).exists(_.name == "div"))
@@ -137,68 +183,276 @@ object InfoboxParser {
     else if (contents.length == 1 && elemAt(0).exists(e =>
         e.name == "a" && e.findFirst(_.name == "img").isDefined))
       defaultHead = "封面图片"
+    else if (contents.length == 2 && directDivs(td).length == 2 &&
+      directDivs(td).head.findFirst(_.name == "img").isDefined)
+      defaultHead = "封面图片"
     else if (td.findFirst(e => e.name == "div" && e.classes.contains("thumbinner")).isDefined)
       defaultHead = "封面图片"
 
     if (styleOf(td).contains("border-top")) shouldUnderFirst = true // `:347-348`
+    // sole div holding two direct divs, first with an img (`:349-352`)
+    if (contents.length == 1 && elemAt(0).exists(e => e.name == "div" &&
+      directDivs(e).length == 2 && directDivs(e).head.findFirst(_.name == "img").isDefined))
+      shouldUnderFirst = true
 
     def targetDict(): IDict =
       if (tdMiddleB.isEmpty) d else d(tdMiddleB).asInstanceOf[IDict]
 
+    // NavFrame content walk shared by the direct-NavFrame branches
+    // (`:398-436` li loop, `:440-471` NavContent fallback) and the
+    // descendant-NavFrames branch (`:579-610`). `tables` enables the
+    // nested get_table_info_3 merge (direct branches only); `quirkOri`
+    // selects the links_title-as-ori quirk (direct branches only).
+    def navWalk(navLeaf: IDict, nodes: Seq[HtmlScanner.HNode],
+        tables: Boolean, quirkOri: Boolean): Unit = {
+      var add = ""
+      nodes.foreach {
+        case HText(t) => add += t.trim // plain strip, not str_re (`:409`)
+        case e: HElem =>
+          if (e.name == "br") {
+            if (add.nonEmpty) { leafList(navLeaf).items += add; add = "" }
+          } else if (e.name == "table" && tables) {
+            val tmp = parse(pageUrl, base, e)
+            tmp.m.foreach { case (k, v) =>
+              navLeaf(checkRepeatKey(k, navLeaf.keys)) = v
+            }
+          } else {
+            add += strRe(e.text)
+            val anchors = if (e.name == "a") e +: anchorsIn(e) else anchorsIn(e)
+            val rl = resolveAnchors(pageUrl, base, anchors)
+            if (quirkOri) extendLinksQuirk(navLeaf, rl) else extendLinks(navLeaf, rl)
+          }
+      }
+      if (add.nonEmpty) leafList(navLeaf).items += add
+    }
+    // per-li plainlist-or-li contents (`:400-405`)
+    def navLis(navLeaf: IDict, ul: HElem, tables: Boolean, quirkOri: Boolean): Unit =
+      ul.findByTag("li").foreach { li =>
+        val nodes = li.findFirst(e => e.name == "div" && e.classes.contains("plainlist"))
+          .map(_.children).getOrElse(li.children)
+        navWalk(navLeaf, nodes, tables, quirkOri)
+      }
+
     var firstContent = true
-    contents.foreach {
-      case HText(t) => listAdd += strRe(t)
-      case e: HElem =>
-        e.name match {
-          case "br" if listAdd.nonEmpty => // `:361-367`
-            leafList(targetDict()).items += listAdd
-            listAdd = ""
-          case "br" => // empty accumulator: reference does nothing
-          case "ul" => // multi-li branch (`:480-503`)
+    contents.foreach { node =>
+      node match {
+        case HText(t) => listAdd += strRe(t)
+        case e: HElem =>
+          if (e.name == "br") { // `:361-367`; empty accumulator: no-op
+            if (listAdd.nonEmpty) { leafList(targetDict()).items += listAdd; listAdd = "" }
+          } else if (e.name == "div" && e.classes.contains("plainlinks") &&
+            e.classes.contains("hlist") && e.classes.contains("navbar") &&
+            e.classes.contains("mini")) {
+            // navbar-mini template skipped outright (`:368-372`)
+          } else if (e.name == "div" && e.classes.contains("NavFrame")) {
+            // direct NavFrame (`:373-473`)
+            defaultHead = "NavFrame"
+            val navHeadTag = e.findFirst(x => x.name == "div" && x.classes.contains("NavHead"))
+            if (navHeadTag.exists(h => styleOf(h).contains("background") &&
+              hasStyle(h, "text-align:\\s*center"))) {
+              shouldUnderFirst = true
+              isTableThBg = true
+            }
+            // fails fast when NavHead is absent, like the reference's
+            // unguarded .get_text() (`:383`)
+            val navHead = dedupKey(strRe(navHeadTag.get.text), d.keys)
+            val navLeaf = newLeaf()
+            d(navHead) = navLeaf
+            val ul = e.findFirst(x => x.name == "ul" && x.classes.contains("NavContent"))
+              .orElse(e.findFirst(x => x.name == "div" && x.classes.contains("NavContent"))
+                .map(_.findFirst(_.name == "ul"))
+                .getOrElse(e.findFirst(_.name == "ul"))) // `:391-397`
+            ul match {
+              case Some(u) => navLis(navLeaf, u, tables = true, quirkOri = true)
+              case None => // NavContent div fallback (`:440-471`)
+                val nc = e.findFirst(x => x.name == "div" && x.classes.contains("NavContent")).get
+                navWalk(navLeaf, nc.children, tables = true, quirkOri = true)
+            }
+          } else if (e.name == "p" && hasStyle(td, "width:\\s*50%")) {
+            // width-50% p → middle key (`:475-479`, 1964年巴西政变)
+            tdMiddleB = strRe(e.text)
+            val sub = newLeaf()
+            addThLinks(sub, resolveAnchors(pageUrl, base, anchorsIn(e)))
+            d(tdMiddleB) = sub
+          } else if (e.name == "ul" ||
+            (e.name == "div" && (e.classes.contains("plainlist") || e.classes.contains("hlist")))) {
+            // multi-li branch (`:480-503`)
             e.findByTag("li").foreach { li =>
               val liText = strRe(li.text)
               if (liText.nonEmpty) leafList(targetDict()).items += liText
               extendLinks(targetDict(), resolveAnchors(pageUrl, base, anchorsIn(li)))
             }
-          case "div" if e.classes.contains("plainlist") || e.classes.contains("hlist") =>
-            e.findByTag("li").foreach { li =>
-              val liText = strRe(li.text)
-              if (liText.nonEmpty) leafList(targetDict()).items += liText
-              extendLinks(targetDict(), resolveAnchors(pageUrl, base, anchorsIn(li)))
+          } else if (e.name == "span" && e.classes.contains("street-address")) {
+            // street-address span: local b-keyed sub-dicts (`:504-547`)
+            var curB = ""
+            var add = ""
+            def bTarget(): IDict = if (curB.isEmpty) d else d(curB).asInstanceOf[IDict]
+            e.children.foreach {
+              case HText(t) => add += strRe(t)
+              case c: HElem if c.name == "b" =>
+                if (add.nonEmpty) { leafList(bTarget()).items += add; add = "" }
+                curB = strRe(c.text)
+                val sub = newLeaf()
+                addThLinks(sub, resolveAnchors(pageUrl, base, anchorsIn(c)))
+                d(curB) = sub
+              case c: HElem =>
+                add += strRe(c.text)
+                val anchors = if (c.name == "a") c +: anchorsIn(c) else anchorsIn(c)
+                extendLinks(bTarget(), resolveAnchors(pageUrl, base, anchors))
             }
-          case "b" => // <b> sub-key (`:549-560`)
+            if (add.nonEmpty) leafList(bTarget()).items += add
+          } else if (firstContent && e.name == "span" && e.findFirst(_.name == "b").isDefined) {
+            // first-content span holding a <b> names the head (`:548-549`)
+            defaultHead = strRe(e.text)
+          } else if (e.name == "b") { // <b> sub-key (`:550-560`)
             tdMiddleB = strRe(e.text)
             val sub = newLeaf()
             addThLinks(sub, resolveAnchors(pageUrl, base, anchorsIn(e)))
             d(tdMiddleB) = sub
             if (firstContent && e.text.endsWith("：") && hasStyle(td, "text-align:\\s*center"))
               shouldUnderFirst = true
-          case "table" => // nested table in a td (`:296-297` via
-            // get_one_tag_content_br, `:769,988-993` direct recursion):
-            // parse with get_table_info_3 and our_merge_dict (F11) the
-            // result into the td's dict, flushing pending inline text
-            if (listAdd.nonEmpty) { leafList(targetDict()).items += listAdd; listAdd = "" }
-            graft.functions.TextNorm.mergeDict(
-              targetDict().m, parse(pageUrl, base, e).m)
-          case "img" => // img entry (`:887-896`)
-            var src = e.attr("src").getOrElse("")
-            if (src.startsWith("//")) src = "https:" + src
-            var alt = e.attr("alt").getOrElse("")
-            if (alt.isEmpty) alt = src.split("wikipedia/").last
-            d("links").asInstanceOf[IList].items += src
-            d("links_title").asInstanceOf[IList].items += alt
-            d("links_ori_title").asInstanceOf[IList].items += alt
-          case _ => // generic inline fallthrough (`:897-910`)
-            val (txt, _) = tagContentBr(pageUrl, base, e)
-            listAdd += strRe(txt)
+          } else if (firstContent &&
+            e.findAll(x => x.name == "div" && x.classes.contains("NavFrame")).nonEmpty) {
+            // descendant NavFrames (`:561-610`)
+            if (!hasStyle(e, "display:\\s*none")) { // `:562-564` skip
+              shouldUnderFirst = true
+              e.findAll(x => x.name == "div" && x.classes.contains("NavFrame")).foreach { nf =>
+                val navHead = dedupKey(
+                  strRe(nf.findFirst(x => x.name == "div" && x.classes.contains("NavHead")).get.text),
+                  d.keys)
+                val navLeaf = newLeaf()
+                d(navHead) = navLeaf
+                nf.findFirst(x => x.name == "ul" && x.classes.contains("NavContent")).foreach {
+                  u => navLis(navLeaf, u, tables = false, quirkOri = false)
+                }
+              }
+            }
+          } else if (e.name == "table") { // nested table (`:611-783`)
+            e.findFirst(_.name == "tbody").foreach { tbody =>
+              val allTrs = tbody.findByTag("tr")
+              if (allTrs.length == 1 && tbody.findByTag("th").isEmpty) {
+                // single-tr keyless table → table_td_N walk (`:617-768`)
+                if (e.classes.contains("toccolours") || td.classes.contains("toccolours")) {
+                  shouldUnderFirst = true
+                  isTableThBg = true
+                }
+                allTrs.head.findByTag("td").foreach { ttd =>
+                  // `:627-632`: seed key table_td_1, clashes continue
+                  // from the BASE (table_td_2, table_td_3, …)
+                  var tdKey = "table_td_1"
+                  var tdCnt = 2
+                  while (d.keys.contains(tdKey)) { tdKey = "table_td_" + tdCnt; tdCnt += 1 }
+                  val tleaf = newLeaf()
+                  d(tdKey) = tleaf
+                  var tableB = ""
+                  var tAdd = ""
+                  def tTarget(): IDict =
+                    if (tableB.isEmpty) tleaf else tleaf(tableB).asInstanceOf[IDict]
+                  ttd.children.foreach {
+                    case de: HElem if de.name == "div" => // `:640-737`
+                      de.children.foreach {
+                        case pe: HElem if pe.name == "p" => // `:643-685`
+                          var add = ""
+                          pe.children.foreach {
+                            case HText(t) => add += strRe(t)
+                            case be: HElem if be.name == "br" =>
+                              if (add.nonEmpty) { leafList(tTarget()).items += add; add = "" }
+                            case be: HElem if be.name == "b" =>
+                              tableB = strRe(be.text)
+                              tleaf(tableB) = newLeaf()
+                            case be: HElem =>
+                              add += strRe(be.text)
+                              val anchors = if (be.name == "a") be +: anchorsIn(be) else anchorsIn(be)
+                              extendLinks(tTarget(), resolveAnchors(pageUrl, base, anchors))
+                          }
+                          if (add.nonEmpty) leafList(tTarget()).items += add
+                        case ue: HElem if ue.name == "ul" => // `:686-706`
+                          if (tableB.isEmpty) {
+                            var ub = "table_ul_1" // same seed/base split
+                            var uc = 2
+                            while (tleaf.keys.contains(ub)) { ub = "table_ul_" + uc; uc += 1 }
+                            tableB = ub
+                            tleaf(tableB) = newLeaf()
+                          }
+                          ue.findByTag("li").foreach { li =>
+                            val sub = tleaf(tableB).asInstanceOf[IDict]
+                            leafList(sub).items += strRe(li.text)
+                            extendLinks(sub, resolveAnchors(pageUrl, base, anchorsIn(li)))
+                          }
+                        case HText(t) => // bare string → direct list row (`:707-714`)
+                          val txt = strRe(t)
+                          if (txt.nonEmpty) leafList(tTarget()).items += txt
+                        case oe: HElem => // other tag → text + links (`:715-737`)
+                          val txt = strRe(oe.text)
+                          if (txt.nonEmpty) leafList(tTarget()).items += txt
+                          val anchors = if (oe.name == "a") oe +: anchorsIn(oe) else anchorsIn(oe)
+                          extendLinks(tTarget(), resolveAnchors(pageUrl, base, anchors))
+                      }
+                    case HText(t) => tAdd += strRe(t) // `:738-740`
+                    case be: HElem if be.name == "br" => // `:741-743`
+                      if (tAdd.nonEmpty) { leafList(tleaf).items += tAdd; tAdd = "" }
+                    case ie: HElem if ie.name == "img" => imgEntry(tleaf, ie) // `:745-754`
+                    case oe: HElem => // `:755-765`
+                      tAdd += strRe(oe.text)
+                      val anchors = if (oe.name == "a") oe +: anchorsIn(oe) else anchorsIn(oe)
+                      extendLinks(tleaf, resolveAnchors(pageUrl, base, anchors))
+                  }
+                  if (tAdd.nonEmpty) leafList(tleaf).items += tAdd
+                }
+              } else {
+                // th/td table → get_table_info_3 keys attached via
+                // check_repeat_key (`:769-775`; identical key-by-key
+                // semantics to our_merge_dict into a non-empty dict)
+                val tmp = parse(pageUrl, base, e)
+                tmp.m.foreach { case (k, v) => d(checkRepeatKey(k, d.keys)) = v }
+                // first-tr th background / table background (`:776-783`)
+                val firstTrTh = allTrs.headOption.flatMap(_.findFirst(_.name == "th"))
+                if (firstTrTh.exists(t => styleOf(t).contains("background")) ||
+                  styleOf(e).contains("background")) {
+                  shouldUnderFirst = true
+                  isTableThBg = true
+                }
+              }
+            }
+          } else if (contents.length == 1 && firstContent && e.name == "div" &&
+            e.childElems.exists(_.name == "b")) {
+            // sole div with a direct <b> child (`:841-884`)
+            e.children.foreach {
+              case HText(t) => listAdd += t.trim // plain strip (`:846-848`)
+              case c: HElem if c.name == "br" =>
+                if (listAdd.nonEmpty) { leafList(d).items += listAdd; listAdd = "" }
+              case c: HElem if c.name == "b" =>
+                defaultHead = strRe(c.text)
+                if (defaultHead.contains("网站") || defaultHead.contains("網站"))
+                  shouldUnderFirst = true
+                addThLinks(d, resolveAnchors(pageUrl, base, anchorsIn(c)))
+              case c: HElem =>
+                var txt = strRe(c.text)
+                if (c.name == "div" && c.classes.contains("NavFrame") && listAdd.nonEmpty)
+                  txt = "\n" + txt // `:869-871` quirk
+                listAdd += txt
+                val anchors = if (c.name == "a") c +: anchorsIn(c) else anchorsIn(c)
+                extendLinks(d, resolveAnchors(pageUrl, base, anchors))
+            }
+            if (listAdd.nonEmpty) { leafList(d).items += listAdd; listAdd = "" }
+          } else if (e.name == "img") { // img entry (`:885-896`)
+            imgEntry(d, e)
+          } else { // generic inline fallthrough (`:897-910`)
+            val (txt0, _) = tagContentBr(pageUrl, base, e)
+            var txt = strRe(txt0)
+            if (e.name == "div" && e.classes.contains("NavFrame") && listAdd.nonEmpty)
+              txt = "\n" + txt // `:899-903` (shadowed by the direct
+            // NavFrame branch above, as in the reference's elif chain)
+            listAdd += txt
             val anchors =
               if (e.name == "a") e +: anchorsIn(e) else anchorsIn(e)
             extendLinks(d, resolveAnchors(pageUrl, base, anchors))
-        }
-        firstContent = false
+          }
+      }
+      firstContent = false // after EVERY content incl. strings (`:912`)
     }
     if (listAdd.nonEmpty) leafList(targetDict()).items += listAdd // `:913-917`
-    Some((d, defaultHead, shouldUnderFirst))
+    Some((d, defaultHead, shouldUnderFirst, isTableThBg))
   }
 
   /** `get_table_info_3` (`zhwiki_leafs.py:930-1370`) restricted subset. */
@@ -463,17 +717,19 @@ object InfoboxParser {
         if (!handled) {
           tdContents(pageUrl, basePreUrl, td) match {
             case None => firstTd = false
-            case Some((tdDict, head, shouldUnderFirst)) =>
+            case Some((tdDict, head, shouldUnderFirst, isTableThBg)) =>
               // attach with repeat-suffix at the chosen level
               // (`:1336-1367`). The reference's suffix scan (`:1339`)
               // and attach (`:1358`) use slightly DIFFERENT conditions
               // — the suffix level ignores td_to_third_key — and that
-              // asymmetry is reproduced here. The is_table_th_background
-              // flag comes only from NavFrame/toccolours branches
-              // outside the restricted grammar (always false here); the
-              // 若非注明 data-source footer forces first-level attach.
+              // asymmetry is reproduced here. is_table_th_background
+              // (NavFrame-head / toccolours / nested-th-background
+              // branches) forces first-level attach even under an open
+              // background second key; so does the 若非注明
+              // data-source footer.
               val underFirst = secondKey.isEmpty ||
                 (shouldUnderFirst && !secondKeyBackground) ||
+                (shouldUnderFirst && isTableThBg) ||
                 td.text.contains("若非注明，所有数据均出自")
               val suffixDict: IDict =
                 if (underFirst) dictAt(Seq(firstKey))
