@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pre-size the heap: lazy heap growth + GC churn while expanding
   // makes first benchmark passes 20x slower otherwise
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

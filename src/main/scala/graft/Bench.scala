@@ -277,8 +277,16 @@ object Bench {
     val huge = nSeen >= 100000000
     val nTrials = if (huge) 1 else 5
     if (!huge) { exactBody; bloomBody; shardBody }
+    // at the huge points, force a driver GC between paths: shuffle
+    // files are removed by the async ContextCleaner only when their
+    // dependency objects are collected, and three accumulated 10^9
+    // spill sets otherwise exceed the box's free disk
+    def gcIfHuge(): Unit = if (huge) { System.gc(); Thread.sleep(3000) }
     val trials = (1 to nTrials).map { _ =>
-      (measured(exactBody), measured(bloomBody), measured(shardBody))
+      val e = measured(exactBody); gcIfHuge()
+      val b = measured(bloomBody); gcIfHuge()
+      val s = measured(shardBody); gcIfHuge()
+      (e, b, s)
     }
     val (nExact, exactSec, exactSteal, exactBytes) = trials.map(_._1).minBy(_._2)
     val (nBloom, bloomSec, bloomSteal, bloomBytes) = trials.map(_._2).minBy(_._2)
