@@ -81,8 +81,19 @@ object InfoboxParser {
   }
 
   private def styleOf(e: HElem): String = e.attr("style").getOrElse("")
-  private def hasStyle(e: HElem, re: String): Boolean =
-    java.util.regex.Pattern.compile(re).matcher(styleOf(e)).find()
+  // style probes run for every td content of every parsed doc — the
+  // leaf pipeline's hottest branch-dispatch path. Compile each pattern
+  // once per JVM (executor-side object, so the cache is per-executor
+  // like the codegen'd expression kernels), and skip the matcher
+  // entirely for the common no-style-attr case.
+  private val stylePatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+  private def hasStyle(e: HElem, re: String): Boolean = {
+    val s = styleOf(e)
+    s.nonEmpty && stylePatterns
+      .computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+      .matcher(s).find()
+  }
 
   /** get_links_title over a sequence of anchors (`zhwiki_leafs.py:238-271`),
     * skipping mw-selflink selflink anchors. */
