@@ -67,6 +67,16 @@ object SparkEntry {
       Similarity.lshTopKMultiProbe(
         e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
     }),
+    "ann_lsh_multitable" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopKMultiTable(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    }),
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
+    }),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, documents(s, d))),
     "media_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
@@ -355,6 +365,68 @@ object SparkEntry {
                       ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
           WHERE rnk <= 5"""
     },
+    // multi-table OR-construction: 8 tables × 6 planes. The sign matrix
+    // CTE is computed once (8×6 rows, 64 md5s each — same per-(t,p,i)
+    // seed recipe as LshExpressions.signs: table 0 keeps the bare
+    // "plane<p>|<i>" seed, t>0 prepends "t<t>|"); buckets then follow
+    // by ordered list_sum (left-to-right double, ≡ the codegen'd
+    // kernel). DISTINCT replaces the Spark side's first-matching-table
+    // join residual — same pair set.
+    "ann_lsh_multitable" ->
+      s"""WITH smat AS (
+            SELECT tt.t AS t, pp.p AS p,
+              list_transform(range(0, 64), i ->
+                CASE WHEN ('0x' || substr(md5(concat(
+                       CASE WHEN tt.t = 0 THEN '' ELSE 't' || tt.t::VARCHAR || '|' END,
+                       'plane', pp.p::VARCHAR, '|', i::VARCHAR)), 1, 1))::INT >= 8
+                     THEN 1.0 ELSE -1.0 END) AS sv
+            FROM range(0, 8) tt(t), range(0, 6) pp(p)),
+          e AS (SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+          bits AS (
+            SELECT e.vec_id, m.t,
+              sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+                    i -> (e.embedding)[i]::DOUBLE * (m.sv)[i])) > 0
+                  THEN (1 << m.p::INT) ELSE 0 END)::INT AS bucket
+            FROM e, smat m GROUP BY 1, 2),
+          cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+            FROM bits qb JOIN bits cb
+              ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+            WHERE qb.vec_id < 8),
+          j AS (SELECT cand.query_id, cand.vec_id,
+                 round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+                FROM cand JOIN e q ON q.vec_id = cand.query_id
+                          JOIN e c ON c.vec_id = cand.vec_id)
+          SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+          WHERE rnk <= 5""",
+    // IVF: pivots = vec_id < 32 (deterministic), cell = argmax cosine
+    // with first-pivot tie-break (row_number ≡ the Spark side's
+    // array_position-of-array_max), queries probe their 4 best cells.
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+          piv AS (SELECT vec_id AS pvt, embedding, nrm FROM e WHERE vec_id < 32),
+          pc AS (SELECT e.vec_id, p.pvt,
+                  ${dotSql("e.embedding", "p.embedding")} / (e.nrm * p.nrm) AS pcos
+                 FROM e, piv p),
+          cellr AS (SELECT vec_id, pvt,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY pcos DESC, pvt ASC) AS r FROM pc),
+          cells AS (SELECT vec_id, pvt AS cell FROM cellr WHERE r = 1),
+          probes AS (SELECT vec_id, pvt AS cell FROM cellr WHERE r <= 4 AND vec_id < 8),
+          j AS (SELECT qp.vec_id AS query_id, cc.vec_id AS vec_id,
+                 round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos
+                FROM probes qp JOIN cells cc
+                  ON qp.cell = cc.cell AND cc.vec_id <> qp.vec_id
+                JOIN e q ON q.vec_id = qp.vec_id
+                JOIN e c ON c.vec_id = cc.vec_id)
+          SELECT query_id, vec_id, cos, rnk::INT AS rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+          WHERE rnk <= 5""",
     "media_meta" ->
       """SELECT doc_id,
                 64 + (('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 192) AS width,

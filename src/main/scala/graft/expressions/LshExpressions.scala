@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * left-to-right from 0.0 — so buckets are bit-identical to the old
   * formulation and to the DuckDB oracle.
   */
-case class FloatLshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+case class FloatLshBucket(child: Expression, nPlanes: Int, table: Int = 0)
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -34,11 +35,11 @@ case class FloatLshBucket(child: Expression, nPlanes: Int) extends UnaryExpressi
   }
 
   override def nullSafeEval(input: Any): Any =
-    LshExpressions.evalBucket(input.asInstanceOf[ArrayData], nPlanes)
+    LshExpressions.evalBucket(input.asInstanceOf[ArrayData], nPlanes, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.LshExpressions.evalBucket($c, $nPlanes)")
+      c => s"graft.expressions.LshExpressions.evalBucket($c, $nPlanes, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): FloatLshBucket =
     copy(child = newChild)
@@ -54,21 +55,26 @@ object LshExpressions {
     * declarative form and the DuckDB oracle (which iterate
     * range(1, len(e)+1) over the real array length). */
   private val signCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  /** +1/−1 from the first hex digit of md5("plane<p>|<dim>") — the
+  /** +1/−1 from the first hex digit of md5 over the plane seed — the
     * exact recipe the declarative `planeSign` used, so buckets (and
-    * the DuckDB oracle) are unchanged. */
-  def signs(nPlanes: Int, dims: Int): Array[Double] =
-    signCache.computeIfAbsent((nPlanes, dims), { case (np, nd) =>
+    * the DuckDB oracle) are unchanged. Table 0 keeps the original
+    * seed string "plane<p>|<dim>"; table t > 0 (the multi-table LSH
+    * OR-construction) prepends the table index — "t<t>|plane<p>|<dim>"
+    * — giving each table an independent sign matrix while leaving
+    * every existing single-table bucket bit-identical. */
+  def signs(nPlanes: Int, dims: Int, table: Int = 0): Array[Double] =
+    signCache.computeIfAbsent((nPlanes, dims, table), { case (np, nd, t) =>
       val out = new Array[Double](np * nd)
       val md = java.security.MessageDigest.getInstance("MD5")
+      val prefix = if (t == 0) "" else s"t$t|"
       var p = 0
       while (p < np) {
         var i = 0
         while (i < nd) {
           md.reset()
-          val digest = md.digest(s"plane$p|$i".getBytes("UTF-8"))
+          val digest = md.digest(s"${prefix}plane$p|$i".getBytes("UTF-8"))
           val firstHexDigit = (digest(0) >> 4) & 0xf
           out(p * nd + i) = if (firstHexDigit >= 8) 1.0 else -1.0
           i += 1
@@ -82,9 +88,9 @@ object LshExpressions {
     * the input's own length, so every component of every row
     * participates — a 128-dim embedding buckets on all 128 dims, never
     * on a silently-truncated prefix. */
-  def evalBucket(arr: ArrayData, nPlanes: Int): Int = {
+  def evalBucket(arr: ArrayData, nPlanes: Int, table: Int = 0): Int = {
     val n = arr.numElements()
-    val s = signs(nPlanes, n)
+    val s = signs(nPlanes, n, table)
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
@@ -102,7 +108,11 @@ object LshExpressions {
   }
 
   /** Column API: LSH bucket of an array<float> embedding (requires
-    * UrlExpressions.register on the session). */
-  def float_lsh_bucket(embedding: Column, nPlanes: Int): Column =
-    call_function("float_lsh_bucket", embedding, org.apache.spark.sql.functions.lit(nPlanes))
+    * UrlExpressions.register on the session). `table` selects the
+    * independent sign matrix of a multi-table OR-construction;
+    * table 0 is the original single-table recipe. */
+  def float_lsh_bucket(embedding: Column, nPlanes: Int, table: Int = 0): Column =
+    call_function("float_lsh_bucket", embedding,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(table))
 }

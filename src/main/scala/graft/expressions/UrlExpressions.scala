@@ -38,12 +38,15 @@ object UrlExpressions {
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "float_lsh_bucket", exprs => {
-        val nPlanes = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"float_lsh_bucket plane count must be an int literal, got $other")
-        }
-        FloatLshBucket(exprs(0), nPlanes)
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"float_lsh_bucket $what must be an int literal, got $other")
+          }
+        val nPlanes = intLit(exprs(1), "plane count")
+        val table = if (exprs.length > 2) intLit(exprs(2), "table index") else 0
+        FloatLshBucket(exprs(0), nPlanes, table)
       }, "built-in")
   }
 

@@ -105,6 +105,62 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  private def resultPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("multi-table LSH: independent sign matrices, unique pairs, recall ≥ single-table") {
+    import graft.expressions.LshExpressions
+    // table 0 must be the legacy seed recipe; table > 0 independent
+    assert(LshExpressions.signs(6, 64, 0).sameElements(LshExpressions.signs(6, 64)))
+    assert(!LshExpressions.signs(6, 64, 1).sameElements(LshExpressions.signs(6, 64, 0)))
+    assert(!LshExpressions.signs(6, 64, 2).sameElements(LshExpressions.signs(6, 64, 1)))
+
+    val emb = embeddings.withColumn("emb64",
+      concat(col("embedding"), array_repeat(lit(0.0f), 56)).cast("array<float>"))
+      .select(col("vec_id"), col("emb64").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = resultPairs(Similarity.bruteForceTopK(emb, queries, 5)).toSet
+    val single = resultPairs(Similarity.lshTopK(emb, queries, 5, nPlanes = 6)).toSet
+    val multiSeq = resultPairs(Similarity.lshTopKMultiTable(emb, queries, 5))
+    // first-matching-table join residual: a pair colliding in several
+    // tables must still surface exactly once
+    assert(multiSeq.size == multiSeq.toSet.size, "duplicate (query, candidate) pairs")
+    val multi = multiSeq.toSet
+    // table 0 of the OR-construction IS the single-table recipe at the
+    // same nPlanes, so candidates are a superset → recall can only grow
+    val recallSingle = (single & brute).size.toDouble / brute.size
+    val recallMulti = (multi & brute).size.toDouble / brute.size
+    assert(recallMulti >= recallSingle,
+      s"multi-table recall $recallMulti < single-table $recallSingle")
+    assert(multi.size >= single.size)
+  }
+
+  test("planted-neighbor recall: multi-table LSH and IVF recover clustered neighbors") {
+    // 8 well-separated clusters of 32 points each; true top-5 neighbors
+    // are in-cluster (cos ≈ 0.99 vs ≲ 0.3 across clusters). This is the
+    // regime real embedding corpora live in — recall here is the
+    // meaningful figure, unlike the isotropic bench embeddings.
+    val nClusters = 8
+    val rows = (0L until 256L).map { id =>
+      val c = (id % nClusters).toInt
+      val vec = Array.tabulate(64)(i =>
+        (math.sin(c * 101 + i * 13) + 0.05 * math.sin(id * 31 + i * 7)).toFloat)
+      (id, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = resultPairs(Similarity.bruteForceTopK(emb, queries, 5)).toSet
+    val multi = resultPairs(Similarity.lshTopKMultiTable(emb, queries, 5)).toSet
+    val ivfSeq = resultPairs(Similarity.ivfTopK(emb, queries, 5))
+    assert(ivfSeq.size == ivfSeq.toSet.size, "IVF produced duplicate pairs")
+    val ivf = ivfSeq.toSet
+    val recallMulti = (multi & brute).size.toDouble / brute.size
+    val recallIvf = (ivf & brute).size.toDouble / brute.size
+    assert(recallMulti >= 0.8, s"multi-table recall on clustered data: $recallMulti")
+    assert(recallIvf >= 0.8, s"IVF recall on clustered data: $recallIvf")
+  }
+
   test("FloatLshBucket kernel ≡ declarative md5 plane-sign formulation") {
     val df = embeddings.limit(20)
       .withColumn("emb64",
