@@ -383,11 +383,20 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum(
         when(col("probe") === col("bucket0"), col("sz") - 1).otherwise(col("sz"))))
       .head().getLong(0).toDouble
+    // multi-table / IVF candidate volume: a count over the shared
+    // candidate-join DataFrames (column pruning drops the cos
+    // projection, so this measures join volume only)
+    val mtCand = Similarity.lshMultiTableCandidates(e, q).count().toDouble
+    val ivfCand = Similarity.ivfCandidates(e, q).count().toDouble
     val out = Map(
       s"ann_lsh_recall_at_$k" -> recall(Similarity.lshTopK(e, q, k)),
       s"ann_multiprobe_recall_at_$k" -> recall(Similarity.lshTopKMultiProbe(e, q, k)),
+      s"ann_multitable_recall_at_$k" -> recall(Similarity.lshTopKMultiTable(e, q, k)),
+      s"ann_ivf_recall_at_$k" -> recall(Similarity.ivfTopK(e, q, k)),
       "ann_lsh_candidate_frac" -> lshCand / (nQueries * (n - 1)),
       "ann_multiprobe_candidate_frac" -> mpCand / (nQueries * (n - 1)),
+      "ann_multitable_candidate_frac" -> mtCand / (nQueries * (n - 1)),
+      "ann_ivf_candidate_frac" -> ivfCand / (nQueries * (n - 1)),
       "ann_recall_queries" -> nQueries.toDouble)
     brute.unpersist()
     out

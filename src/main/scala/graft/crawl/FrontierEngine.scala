@@ -55,6 +55,14 @@ final case class CrawlConfig(
     useBloom: Boolean = true,
     bloomExpectedItems: Long = 10000000L, // sizing; shard the bloom beyond ~10^9
     bloomMinRows: Long = 2000000L, // activate prefilter once seen ≥ this
+    // persistent seen-filter shard kind: "bloom" (Spark sketch, fpp
+    // 1%) or "cuckoo" (graft.sketch.CuckooFilter — deletable, ~0.012%
+    // FPP at ~8.4 bits/key; the other half of the north rule's
+    // "bloom/cuckoo URL-seen"). Same superset contract either way —
+    // the filter only routes rows into the exact anti-join. The
+    // RECENT-delta overlay stays a bloom (transient, merged in-memory;
+    // cuckoo filters don't OR-merge).
+    seenFilterKind: String = "bloom",
     maxSupersteps: Int = 100000,
     // files written per state-table append/overwrite. Every superstep
     // RE-READS the full frontier/seen tables for the exact anti-joins,
@@ -340,12 +348,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
   private val seenShards: Option[graft.tables.BloomShardStore] =
     if (cfg.seenBuckets > 0 && cfg.useBloom)
       Some(new graft.tables.BloomShardStore(
-        s"${cfg.workDir}/seen_blooms", cfg.seenBuckets, Seq("url")))
+        s"${cfg.workDir}/seen_blooms", cfg.seenBuckets, Seq("url"),
+        cfg.seenFilterKind))
     else None
   private val leafShards: Option[graft.tables.BloomShardStore] =
     if (cfg.seenBuckets > 0 && cfg.useBloom)
       Some(new graft.tables.BloomShardStore(
-        s"${cfg.workDir}/frontier_blooms", cfg.seenBuckets, FrontierKeyCols))
+        s"${cfg.workDir}/frontier_blooms", cfg.seenBuckets, FrontierKeyCols,
+        cfg.seenFilterKind))
     else None
   private def perShardExpected: Long =
     math.max(1024L, cfg.bloomExpectedItems / math.max(1, cfg.seenBuckets))

@@ -201,6 +201,14 @@ object Similarity {
     * window exactly once and no exchange is added. */
   def lshTopKMultiTable(
       embeddings: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 6, nTables: Int = 8): DataFrame =
+    topKPerQuery(lshMultiTableCandidates(embeddings, queries, nPlanes, nTables), k)
+
+  /** The multi-table candidate join (scored, pre-top-k) — also the
+    * bench's candidate-volume probe (a `count` over it prunes the cos
+    * projection, so it measures join volume only). */
+  def lshMultiTableCandidates(
+      embeddings: DataFrame, queries: DataFrame,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     def bucketsOf(e: Column): Column = array(
       (0 until nTables).map(t =>
@@ -214,7 +222,7 @@ object Similarity {
     val q = side(queries)
     val firstMatchingTable = array_position(
       zip_with(col("q.buckets"), col("c.buckets"), (a, b) => a === b), lit(true))
-    val joined = cand.as("c")
+    cand.as("c")
       .join(broadcast(q.as("q")),
         col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
           col("q.vec_id") =!= col("c.vec_id") &&
@@ -222,7 +230,6 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6))
-    topKPerQuery(joined, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` pivot
@@ -251,6 +258,13 @@ object Similarity {
     * — no dedup anywhere. */
   def ivfTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 32, nProbe: Int = 4): DataFrame =
+    topKPerQuery(ivfCandidates(embeddings, queries, nCells, nProbe), k)
+
+  /** The IVF candidate join (scored, pre-top-k) — shared by the top-k
+    * op and the bench's candidate-volume probe. */
+  def ivfCandidates(
+      embeddings: DataFrame, queries: DataFrame,
       nCells: Int = 32, nProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     val pivotRows = embeddings
@@ -285,12 +299,11 @@ object Similarity {
         explode(transform(slice(probeStructs, 1, nProbe), s => s.getField("pivot"))))
       .withColumn("nrm", norm(col("embedding")))
       .drop("pcos")
-    val joined = cand.as("c")
+    cand.as("c")
       .join(broadcast(q.as("q")),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos",
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q.nrm") * col("c.nrm")), 6))
-    topKPerQuery(joined, k)
   }
 }

@@ -41,8 +41,12 @@ import org.apache.spark.util.sketch.BloomFilter
 final class BloomShardStore(
     dir: String,
     buckets: Int,
-    keys: Seq[String]
+    keys: Seq[String],
+    kind: String = "bloom" // "bloom" | "cuckoo" — the north rule's two URL-seen filters
 ) extends Serializable {
+
+  require(kind == "bloom" || kind == "cuckoo", s"unknown filter kind: $kind")
+  private val ext = if (kind == "cuckoo") "cuckoo" else "bloom"
 
   @transient private lazy val root: Path = {
     val p = Paths.get(dir)
@@ -70,20 +74,17 @@ final class BloomShardStore(
       fpp: Double = 0.01): Long = {
     val out = genDir(v)
     Files.createDirectories(out)
-    val (dirStr, exp, f) = (out.toString, math.max(1024L, expectedItemsPerShard), fpp)
+    val (dirStr, exp, f, knd, ex) =
+      (out.toString, math.max(1024L, expectedItemsPerShard), fpp, kind, ext)
     val keyed = df
       .repartition(buckets, keys.map(col): _*)
       .select(concat_ws(BloomShardStore.KeySep, keys.map(col): _*).as("k"))
     val counts = keyed.queryExecution.toRdd.mapPartitions { it =>
-      val bf = BloomFilter.create(exp, f)
+      val bf = BloomShardStore.newFilter(knd, exp, f)
       var n = 0L
-      it.foreach { row => bf.putString(row.getString(0)); n += 1 }
+      it.foreach { row => bf.put(row.getString(0)); n += 1 }
       val pid = TaskContext.getPartitionId()
-      val tmp = Paths.get(dirStr, s".shard-$pid-${java.util.UUID.randomUUID}.tmp")
-      val os = Files.newOutputStream(tmp)
-      try bf.writeTo(os) finally os.close()
-      Files.move(tmp, Paths.get(dirStr, s"shard-$pid.bloom"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      BloomShardStore.writeShard(dirStr, pid, bf, ex)
       Iterator.single(n)
     }.collect().sum
     val tmp = root.resolve(".GENERATION.tmp")
@@ -110,7 +111,8 @@ final class BloomShardStore(
       fpp: Double = 0.01): Long = {
     val out = genDir(v)
     Files.createDirectories(out)
-    val (dirStr, exp, f) = (out.toString, math.max(1024L, expectedItemsPerShard), fpp)
+    val (dirStr, exp, f, knd, ex) =
+      (out.toString, math.max(1024L, expectedItemsPerShard), fpp, kind, ext)
     val byBucket: Map[Int, Seq[String]] = files.groupBy(BloomShardStore.bucketIdOf)
     require(!byBucket.contains(-1),
       s"refreshFromBucketedFiles: non-bucketed file name among ${files.take(3)}")
@@ -125,10 +127,10 @@ final class BloomShardStore(
           .select(concat_ws(BloomShardStore.KeySep, keyCols.map(col): _*).as("k"))
           .coalesce(1)
         keyed.queryExecution.toRdd.mapPartitions { it =>
-          val bf = BloomFilter.create(exp, f)
+          val bf = BloomShardStore.newFilter(knd, exp, f)
           var n = 0L
-          it.foreach { row => bf.putString(row.getString(0)); n += 1 }
-          BloomShardStore.writeShard(dirStr, b, bf)
+          it.foreach { row => bf.put(row.getString(0)); n += 1 }
+          BloomShardStore.writeShard(dirStr, b, bf, ex)
           Iterator.single(n)
         }.collect().sum
       }
@@ -138,7 +140,7 @@ final class BloomShardStore(
     pool.shutdown()
     // empty buckets: write empty shards driver-side (tiny)
     (0 until buckets).filterNot(byBucket.contains).foreach { b =>
-      BloomShardStore.writeShard(dirStr, b, BloomFilter.create(exp, f))
+      BloomShardStore.writeShard(dirStr, b, BloomShardStore.newFilter(knd, exp, f), ex)
     }
     val tmp = root.resolve(".GENERATION.tmp")
     Files.writeString(tmp, v.toString)
@@ -157,8 +159,9 @@ final class BloomShardStore(
     val g = generation
     require(g > 0, s"bloom shards at $dir never refreshed")
     val genDirStr = genDir(g).toString
+    val ex = ext
     val probe = udf((b: Int, k: String) =>
-      BloomShardStore.shardFor(genDirStr, b).mightContain(k))
+      BloomShardStore.shardFor(genDirStr, b, ex).mightContain(k))
     probe(pmod(hash(keyCols: _*), lit(buckets)),
       concat_ws(BloomShardStore.KeySep, keyCols: _*))
   }
@@ -197,12 +200,42 @@ object BloomShardStore {
     BucketFileRe.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(-1)
   }
 
+  /** The filter behind a shard file: Bloom (Spark sketch) or Cuckoo
+    * ([[graft.sketch.CuckooFilter]] — deletable, ~0.01% FPP at ~half
+    * the bits of an equal-FPP bloom). Both honor the same superset
+    * contract, so the probe/anti-join structure is kind-agnostic. */
+  private[tables] sealed trait ShardFilter {
+    def put(k: String): Unit
+    def mightContain(k: String): Boolean
+    def writeTo(os: java.io.OutputStream): Unit
+  }
+  private final class BloomShard(bf: BloomFilter) extends ShardFilter {
+    def put(k: String): Unit = { bf.putString(k); () }
+    def mightContain(k: String): Boolean = bf.mightContain(k)
+    def writeTo(os: java.io.OutputStream): Unit = bf.writeTo(os)
+  }
+  private final class CuckooShard(cf: graft.sketch.CuckooFilter) extends ShardFilter {
+    def put(k: String): Unit = cf.put(k)
+    def mightContain(k: String): Boolean = cf.mightContain(k)
+    def writeTo(os: java.io.OutputStream): Unit = cf.writeTo(os)
+  }
+
+  /** `fpp` applies to the bloom kind only — a cuckoo filter's FPP is
+    * fixed by its 16-bit fingerprints (~0.012%), always at or below
+    * any fpp this store is asked for. */
+  private[tables] def newFilter(kind: String, expectedItems: Long, fpp: Double): ShardFilter =
+    kind match {
+      case "cuckoo" => new CuckooShard(new graft.sketch.CuckooFilter(expectedItems))
+      case _        => new BloomShard(BloomFilter.create(expectedItems, fpp))
+    }
+
   /** Atomic shard write (tmp + move). */
-  private[tables] def writeShard(genDir: String, bucket: Int, bf: BloomFilter): Unit = {
+  private[tables] def writeShard(
+      genDir: String, bucket: Int, bf: ShardFilter, ext: String = "bloom"): Unit = {
     val tmp = Paths.get(genDir, s".shard-$bucket-${java.util.UUID.randomUUID}.tmp")
     val os = Files.newOutputStream(tmp)
     try bf.writeTo(os) finally os.close()
-    Files.move(tmp, Paths.get(genDir, s"shard-$bucket.bloom"),
+    Files.move(tmp, Paths.get(genDir, s"shard-$bucket.$ext"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
@@ -211,15 +244,19 @@ object BloomShardStore {
     * per executor JVM. Bounded by the shards an executor actually
     * probes; stale generations are evicted on refresh. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+    new java.util.concurrent.ConcurrentHashMap[String, ShardFilter]()
 
-  private[tables] def shardFor(genDir: String, bucket: Int): BloomFilter =
-    cache.computeIfAbsent(s"$genDir/shard-$bucket.bloom", p => {
+  private[tables] def shardFor(
+      genDir: String, bucket: Int, ext: String = "bloom"): ShardFilter =
+    cache.computeIfAbsent(s"$genDir/shard-$bucket.$ext", p => {
       val path = Paths.get(p)
       require(Files.exists(path),
-        s"bloom shard missing: $p — refusing to treat as empty (would break the superset contract)")
+        s"seen-filter shard missing: $p — refusing to treat as empty (would break the superset contract)")
       val is = Files.newInputStream(path)
-      try BloomFilter.readFrom(is) finally is.close()
+      try {
+        if (p.endsWith(".cuckoo")) new CuckooShard(graft.sketch.CuckooFilter.readFrom(is))
+        else new BloomShard(BloomFilter.readFrom(is))
+      } finally is.close()
     })
 
   private[tables] def evictPrefix(prefix: String): Unit = {

@@ -87,6 +87,15 @@ class CrawlEquivalenceSpec extends SparkSpec {
         compactEvery = 2, seenBuckets = 4, vacuumKeepVersions = 2))
   }
 
+  test("engine ≡ oracle with CUCKOO seen-filter shards (north rule's other filter)") {
+    // identical lifecycle to the sharded-bloom scenario, but the
+    // persistent shards are cuckoo filters — the probe/anti-join
+    // structure must be filter-agnostic (superset contract only)
+    engineVsSim(WebSpec(nCats = 40, nArticles = 60),
+      c => c.copy(useBloom = true, bloomExpectedItems = 10000, bloomMinRows = 1,
+        compactEvery = 2, seenBuckets = 4, seenFilterKind = "cuckoo"))
+  }
+
   test("bucketed mirror survives a catalog wipe (fresh-JVM resume path)") {
     val spec = WebSpec(nCats = 40, nArticles = 60)
     val store = new PageStore(spec)
