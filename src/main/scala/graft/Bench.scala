@@ -245,6 +245,15 @@ object Bench {
     val (_, shardBuildSec, _, _, _) =
       timedWithSteal(shardStore.refresh(seen, v = 1,
         expectedItemsPerShard = math.max(1024L, nSeen / 32L)))
+    // cuckoo shards: same store, other filter kind (north rule names
+    // both). Measured at the standard rung only — the 10^9 rung's
+    // disk/GC budget is sized for three paths.
+    val cuckooStore = new graft.tables.BloomShardStore(
+      s"$dir/cuckoo_shards", buckets = 32, keys = Seq("url"), kind = "cuckoo")
+    val cuckooBuildSec =
+      if (nSeen >= 100000000) 0.0
+      else timedWithSteal(cuckooStore.refresh(seen, v = 1,
+        expectedItemsPerShard = math.max(1024L, nSeen / 32L)))._2
 
     // shuffle BYTES are the steal-proof comparison unit: wall seconds
     // under host throttling can invert the exact-vs-bloom verdict (seen
@@ -264,6 +273,9 @@ object Bench {
     def shardBody: Long =
       FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"),
         Some(shardStore.probeCol(Seq(col("url"))))).count()
+    def cuckooBody: Long =
+      FrontierEngine.antiJoinWithBloom(spark, cand, seen, Seq("url"),
+        Some(cuckooStore.probeCol(Seq(col("url"))))).count()
     // warm-up (JIT + parquet footer cache), then INTERLEAVED trials per
     // path: interleaving means a throttle window degrades all paths
     // rather than silently biasing whichever ran inside it. At the
@@ -276,7 +288,7 @@ object Bench {
     // where r3's 10 fit — the 10^8+ points run one trial per path
     val huge = nSeen >= 100000000
     val nTrials = if (huge) 1 else 5
-    if (!huge) { exactBody; bloomBody; shardBody }
+    if (!huge) { exactBody; bloomBody; shardBody; cuckooBody }
     // at the huge points, force a driver GC between paths: shuffle
     // files are removed by the async ContextCleaner only when their
     // dependency objects are collected, and three accumulated 10^9
@@ -286,14 +298,18 @@ object Bench {
       val e = measured(exactBody); gcIfHuge()
       val b = measured(bloomBody); gcIfHuge()
       val s = measured(shardBody); gcIfHuge()
-      (e, b, s)
+      val c = if (huge) (0L, 0.0, 0.0, 0L) else measured(cuckooBody)
+      (e, b, s, c)
     }
     val (nExact, exactSec, exactSteal, exactBytes) = trials.map(_._1).minBy(_._2)
     val (nBloom, bloomSec, bloomSteal, bloomBytes) = trials.map(_._2).minBy(_._2)
     val (nShard, shardSec, shardSteal, shardBytes) = trials.map(_._3).minBy(_._2)
+    val (nCuckoo, cuckooSec, cuckooSteal, cuckooBytes) = trials.map(_._4).minBy(_._2)
     spark.sparkContext.removeSparkListener(listener)
     require(nExact == nBloom, s"bloom path changed the result: $nExact vs $nBloom")
     require(nExact == nShard, s"shard path changed the result: $nExact vs $nShard")
+    require(huge || nExact == nCuckoo,
+      s"cuckoo path changed the result: $nExact vs $nCuckoo")
     Map(
       "dedup_seen_rows" -> nSeen.toDouble,
       "dedup_cand_rows" -> nCand.toDouble,
@@ -311,7 +327,12 @@ object Bench {
       "dedup_shard_build_sec" -> shardBuildSec,
       "dedup_steal_pct" -> math.max(exactSteal, math.max(bloomSteal, shardSteal)),
       "dedup_unseen_rows" -> nExact.toDouble
-    )
+    ) ++ (if (huge) Map.empty[String, Double] else Map(
+      "dedup_cuckoo_sec" -> cuckooSec,
+      "dedup_cuckoo_rows_per_sec" -> nCand / cuckooSec,
+      "dedup_cuckoo_shuffle_mb" -> cuckooBytes / 1e6,
+      "dedup_cuckoo_build_sec" -> cuckooBuildSec,
+      "dedup_cuckoo_steal_pct" -> cuckooSteal))
   }
 
   /** Candidate-volume evidence for the prefix-filtered Jaccard join
