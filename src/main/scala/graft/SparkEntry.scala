@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables._
-import graft.ops.{Multimodal, Relational, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{DedupGraph, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,15 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => TextDedup.minhashCandidatePairs(documents(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(documents(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextDedup.simhash(documents(s, d))),
+    "dedup_components" -> ((s, d) =>
+      DedupGraph.connectedComponents(
+        TextDedup.minhashCandidatePairs(documents(s, d)).select("doc_a", "doc_b"))),
+    "dedup_survivors" -> ((s, d) =>
+      DedupGraph.survivors(documents(s, d),
+        TextDedup.minhashCandidatePairs(documents(s, d)).select("doc_a", "doc_b"))),
+    "q_hash_split" -> ((s, d) => Sampling.hashSplit(documents(s, d))),
+    "q_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(documents(s, d), 10).select("doc_id", "n_chars")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
@@ -122,6 +131,30 @@ object SparkEntry {
                list_min(list_transform(hs, v -> (v * a + b) % 2147483647)) AS minhash
         FROM hv, coef"""
   }
+
+  /** LSH candidate pairs from the banded minhash signatures — shared by
+    * the pairs oracle and the component/survivor closures over it */
+  private val minhashPairsSql =
+    s"""WITH sigs AS ($minhashSigsSql),
+        bands AS (
+          SELECT doc_id, (k // 4)::INT AS band,
+                 md5(string_agg(minhash::VARCHAR, '|' ORDER BY k)) AS band_hash
+          FROM sigs GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2"""
+
+  /** transitive closure of the minhash pairs → per-node component min
+    * (the recursive CTE is the oracle for large-star/small-star) */
+  private val componentsSql =
+    s"""mp AS ($minhashPairsSql),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM mp
+                  UNION SELECT doc_b, doc_a FROM mp),
+        reach(src, dst) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)"""
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
@@ -212,16 +245,30 @@ object SparkEntry {
          doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          FROM documents""",
     "dedup_minhash_sigs" -> minhashSigsSql,
-    "dedup_minhash_pairs" ->
-      s"""WITH sigs AS ($minhashSigsSql),
-          bands AS (
-            SELECT doc_id, (k // 4)::INT AS band,
-                   md5(string_agg(minhash::VARCHAR, '|' ORDER BY k)) AS band_hash
-            FROM sigs GROUP BY 1, 2)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-          GROUP BY 1, 2""",
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $componentsSql
+          SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""",
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $componentsSql,
+          comp AS (SELECT src AS doc_id, min(dst) AS component
+                   FROM reach GROUP BY src)
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS component,
+                 (c.component IS NULL OR d.doc_id = c.component) AS keep
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    "q_hash_split" ->
+      """SELECT doc_id,
+              (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100) AS bucket,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 90
+                     THEN 'train'
+                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 95
+                     THEN 'val'
+                   ELSE 'test' END AS split
+         FROM documents""",
+    "q_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 10""",
     "dedup_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents),

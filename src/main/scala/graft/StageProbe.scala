@@ -18,6 +18,9 @@ object StageProbe {
       val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
       val m = Bench.annRecallBench(spark, sfDir)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "crecall") {
+      val m = Bench.annClusteredRecallBench(spark)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "crawl") {
       val m = Bench.crawlBench(spark, nUrls, nHosts = 32)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))

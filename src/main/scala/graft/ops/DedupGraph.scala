@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER resolution: the step after every pair-producing
+  * dedup op (`TextDedup.minhashCandidatePairs`, `ngramJaccardPairs`,
+  * `Similarity.cosinePairs`). Near-dup pairs are edges of an undirected
+  * graph; a training-data pipeline needs its connected components
+  * (transitive closure of "is a near-dup of") and then one survivor
+  * per component — pairs alone over-delete (dropping both ends) or
+  * under-delete (keeping chains A~B~C as two "independent" pairs).
+  *
+  * Components are computed with alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC '14): each round is two self-free aggregate+join passes over
+  * the edge set, converging to min-rooted stars in O(log² n) rounds
+  * (≤ 5 in practice). At the 100 TB design point this is the published
+  * MapReduce-scale algorithm: no vertex ever holds its whole component
+  * in memory (the label-propagation alternative shuffles the full edge
+  * list for O(diameter) rounds — a 10^6-long dup chain needs 10^6
+  * rounds there, ~20 here), every pass is a plain hash shuffle on the
+  * node id, and lineage is truncated each round so the plan stays
+  * O(1)-deep. `localCheckpoint` carries the truncation on local[n];
+  * on a real cluster point `spark.sparkContext.setCheckpointDir` at
+  * durable storage and flip `reliable=true`.
+  */
+object DedupGraph {
+
+  /** Canonical edge form: (u, v) with u > v, self-loops dropped,
+    * exactly one row per undirected edge. */
+  private def canonical(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.take(2).toSeq
+    pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Large-star: every node connects its strictly-LARGER neighbors to
+    * the minimum of its neighborhood (incl. itself). One shuffle for
+    * the per-node min, one for the join back. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighbors
+    * (and itself) to its neighborhood minimum. Input and output are
+    * canonical (u > v). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min("v").as("m"))
+    edges.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(m.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components over `pairs` (first two columns = the two
+    * node ids of each edge; nodes are the docs appearing in ≥1 pair).
+    * Returns (doc_id, component) with component = the MINIMUM doc_id
+    * of the node's component — deterministic, so the survivor choice
+    * downstream is reproducible run-over-run.
+    *
+    * Convergence is checked exactly (set equality of successive edge
+    * sets), not by a hash that could terminate early on collision;
+    * the fixpoint of both stars is precisely the min-rooted star
+    * forest, so equality ⇒ done.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var edges = truncate(canonical(pairs))
+    var n = edges.count()
+    var converged = n == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = truncate(smallStar(largeStar(edges)))
+      val nn = next.count()
+      converged = nn == n && next.exceptAll(edges).isEmpty
+      edges = next
+      n = nn
+      round += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // the fixpoint of the two stars is a min-rooted star forest; verify
+    // that shape ONCE (leaves unique, no node both leaf and root) so the
+    // labeling below is provably unambiguous — a violated invariant is a
+    // loud error, never a silently wrong component id
+    require(edges.groupBy("u").count().filter(col("count") > 1).isEmpty,
+      "connectedComponents: converged edge set is not a star forest (duplicate leaf)")
+    require(edges.select("u").intersect(edges.select("v")).isEmpty,
+      "connectedComponents: converged edge set is not a star forest (leaf is also a root)")
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .unionAll(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** The per-document keep/drop decision a dedup pipeline actually
+    * ships: every document keeps `component` (its cluster's min
+    * doc_id; itself when unpaired) and `keep` (true for the cluster
+    * minimum and for every unpaired doc). The join is left-outer on
+    * doc_id — at scale the component map is orders of magnitude
+    * smaller than the corpus (only near-dup members appear), so AQE
+    * turns it into a broadcast join. */
+  def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    documents.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        (col("component").isNull || col("doc_id") === col("component")).as("keep"))
+  }
+}

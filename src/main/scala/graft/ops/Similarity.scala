@@ -261,44 +261,73 @@ object Similarity {
       nCells: Int = 32, nProbe: Int = 4): DataFrame =
     topKPerQuery(ivfCandidates(embeddings, queries, nCells, nProbe), k)
 
-  /** The IVF candidate join (scored, pre-top-k) — shared by the top-k
-    * op and the bench's candidate-volume probe. */
-  def ivfCandidates(
-      embeddings: DataFrame, queries: DataFrame,
-      nCells: Int = 32, nProbe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
+  /** The deterministic pivot set: the `nCells` lowest-vec_id
+    * embeddings, collected once (broadcast metadata, not data rows). */
+  private def ivfPivots(embeddings: DataFrame, nCells: Int): Seq[Seq[Float]] = {
     val pivotRows = embeddings
       .filter(col("vec_id") < nCells)
       .orderBy("vec_id")
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0))
+      .toSeq
     require(pivotRows.length == nCells,
-      s"ivfTopK needs vec_ids 0..${nCells - 1} as pivots, found ${pivotRows.length}")
-    import spark.implicits._
-    val pivotLit = typedLit(pivotRows)
-    // cosine against every pivot, in pivot order (double arithmetic
-    // end-to-end: FloatDot accumulates left-to-right in double)
-    def pivotCos(e: Column): Column =
-      transform(pivotLit, p => dot(e, p) / (norm(e) * sqrt(dot(p, p))))
-    def withCell(df: DataFrame): DataFrame = df
-      .withColumn("pcos", pivotCos(col("embedding")))
-      .withColumn("cell",
-        (array_position(col("pcos"), array_max(col("pcos"))) - 1).cast("int"))
-      .withColumn("nrm", norm(col("embedding")))
-      .drop("pcos")
-    val cand = withCell(embeddings)
-    // probe list: nProbe pivots with the highest cosine; sort_array on
-    // struct(-cos, pivot) ascending == (cos DESC, pivot ASC)
+      s"IVF needs vec_ids 0..${nCells - 1} as pivots, found ${pivotRows.length}")
+    pivotRows
+  }
+
+  /** Cosine of `e` against every pivot, in pivot order (double
+    * arithmetic end-to-end: FloatDot accumulates left-to-right). */
+  private def pivotCos(pivots: Seq[Seq[Float]], e: Column): Column = {
+    val pivotLit = typedLit(pivots)
+    transform(pivotLit, p => dot(e, p) / (norm(e) * sqrt(dot(p, p))))
+  }
+
+  /** Scan-side IVF cell assignment: adds `cell` (argmax-cosine pivot,
+    * first-max tie-break) and `nrm` to `df` — zero shuffle, zero join.
+    * Public because the cell is also the STORAGE partition key of the
+    * 100-TB layout: `assignIvfCells(e, n).write.partitionBy("cell")`
+    * makes every probe a partition-pruned scan (spec-pinned). */
+  def assignIvfCells(embeddings: DataFrame, nCells: Int = 32): DataFrame =
+    assignCells(embeddings, ivfPivots(embeddings, nCells))
+
+  private def assignCells(df: DataFrame, pivots: Seq[Seq[Float]]): DataFrame = df
+    .withColumn("pcos", pivotCos(pivots, col("embedding")))
+    .withColumn("cell",
+      (array_position(col("pcos"), array_max(col("pcos"))) - 1).cast("int"))
+    .withColumn("nrm", norm(col("embedding")))
+    .drop("pcos")
+
+  /** Query probe cells: each query row exploded to its `nProbe`
+    * highest-cosine pivots (struct sort on (−cos, pivot) ascending ==
+    * cos DESC, pivot ASC — same tie-break as the cell argmax). */
+  def ivfProbes(embeddings: DataFrame, queries: DataFrame,
+      nCells: Int = 32, nProbe: Int = 4): DataFrame =
+    probeCells(queries, ivfPivots(embeddings, nCells), nCells, nProbe)
+
+  private def probeCells(queries: DataFrame, pivots: Seq[Seq[Float]],
+      nCells: Int, nProbe: Int): DataFrame = {
     val probeStructs = sort_array(zip_with(
       col("pcos"), sequence(lit(0), lit(nCells - 1)),
       (c, i) => struct((-c).as("negcos"), i.as("pivot"))))
-    val q = queries
-      .withColumn("pcos", pivotCos(col("embedding")))
+    queries
+      .withColumn("pcos", pivotCos(pivots, col("embedding")))
       .withColumn("cell",
         explode(transform(slice(probeStructs, 1, nProbe), s => s.getField("pivot"))))
       .withColumn("nrm", norm(col("embedding")))
       .drop("pcos")
+  }
+
+  /** The IVF candidate join (scored, pre-top-k) — shared by the top-k
+    * op and the bench's candidate-volume probe. A candidate lives in
+    * exactly one cell and a query's probes are distinct, so pairs are
+    * unique by construction — no dedup anywhere. */
+  def ivfCandidates(
+      embeddings: DataFrame, queries: DataFrame,
+      nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+    val pivots = ivfPivots(embeddings, nCells)
+    val cand = assignCells(embeddings, pivots)
+    val q = probeCells(queries, pivots, nCells, nProbe)
     cand.as("c")
       .join(broadcast(q.as("q")),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Connected-components cluster resolution + deterministic splits.
+  * The CC oracle here is an in-memory union-find over the same edges —
+  * independent of both the Spark implementation and the DuckDB
+  * recursive-CTE oracle the driver runs. */
+class DedupGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupGraph.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components ≡ union-find oracle on a mixed random graph") {
+    // deterministic mixed shapes: chains, a clique, stars, random extra
+    // edges from an LCG — exercises merging separately-discovered parts
+    val rnd = new scala.util.Random(42)
+    val chains = (0 until 5).flatMap { c =>
+      val base = 100L * c
+      (0 until 19).map(i => (base + i, base + i + 1))
+    }
+    val clique = for (i <- 600L to 607L; j <- (i + 1) to 607L) yield (i, j)
+    val stars = (0 until 3).flatMap { s =>
+      val hub = 700L + 50 * s
+      (1 to 10).map(i => (hub, hub + i))
+    }
+    val extra = (0 until 30).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter(e => e._1 != e._2)
+    val edges = rnd.shuffle(chains ++ clique ++ stars ++ extra)
+    assert(ccOf(edges) == unionFind(0, edges))
+  }
+
+  test("long chain converges (multi-round) with min-labelled components") {
+    val edges = (0L until 200L).map(i => (i + 1, i)) // reversed order on purpose
+    val got = ccOf(edges)
+    assert(got.size == 201)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("self-loops and duplicate/reversed pairs are harmless") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (3L, 4L), (3L, 4L))
+    assert(ccOf(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("empty pair set yields empty components") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupGraph.connectedComponents(empty).count() == 0)
+  }
+
+  test("survivors: one keeper per cluster, unpaired docs all kept") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val pairs = Seq((3L, 7L), (7L, 11L), (15L, 16L)).toDF("doc_a", "doc_b")
+    val got = DedupGraph.survivors(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = (0L until 20L).map {
+      case d @ (3L | 7L | 11L) => (d, 3L, d == 3L)
+      case d @ (15L | 16L)     => (d, 15L, d == 15L)
+      case d                   => (d, d, true)
+    }.toSet
+    assert(got == expected)
+    // exactly one survivor per component over the whole corpus
+    val perComp = DedupGraph.survivors(docs, pairs)
+      .groupBy("component").agg(sum(when(col("keep"), 1).otherwise(0)).as("n"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perComp == Set(1L))
+  }
+
+  test("hashSplit: deterministic, corpus-growth-stable, ~90/5/5") {
+    val small = (0L until 500L).toDF("doc_id")
+    val grown = (0L until 2000L).toDF("doc_id")
+    val a = Sampling.hashSplit(small).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.hashSplit(grown).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // growth stability: every original doc keeps its assignment
+    assert(a.forall { case (id, s) => b(id) == s })
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, frac)
+    assert(math.abs(frac("val") - 0.05) < 0.02, frac)
+    assert(math.abs(frac("test") - 0.05) < 0.02, frac)
+  }
+
+  test("hashSample: subset-monotone nested rungs") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    def ids(pct: Int): Set[Long] =
+      Sampling.hashSample(docs, pct).collect().map(_.getLong(0)).toSet
+    val (s5, s20, s100) = (ids(5), ids(20), ids(100))
+    assert(s5.subsetOf(s20))
+    assert(s100.size == 2000)
+    assert(math.abs(s20.size / 2000.0 - 0.20) < 0.03)
+  }
+}

@@ -161,6 +161,58 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recallIvf >= 0.8, s"IVF recall on clustered data: $recallIvf")
   }
 
+  test("IVF cells as storage partition keys: probe reads only probed partitions") {
+    // the 100-TB layout claim made concrete: write the corpus
+    // partitioned by its IVF cell, probe one query's cells, and the
+    // scan must PRUNE to those partitions — no full-table read
+    val nClusters = 8
+    val rows = (0L until 256L).map { id =>
+      val c = (id % nClusters).toInt
+      val vec = Array.tabulate(64)(i =>
+        (math.sin(c * 101 + i * 13) + 0.05 * math.sin(id * 31 + i * 7)).toFloat)
+      (id, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val nCells = 16
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString + "/t"
+    Similarity.assignIvfCells(emb, nCells)
+      .write.partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val queries = emb.filter(col("vec_id") === 3L)
+    val probeCellIds = Similarity.ivfProbes(emb, queries, nCells, nProbe = 4)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(probeCellIds.size == 4)
+    val probed = stored.filter(col("cell").isin(probeCellIds: _*))
+    // partition pruning: the EXECUTED scan must touch only the probed
+    // cells' files (inputFiles ignores pruning — read the scan metric)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS df's plan (df.count() would spawn a separate
+      // QueryExecution and leave these metrics untouched)
+      df.collect()
+      def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(find)
+      }
+      find(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = scanFiles(stored)
+    val probedFiles = scanFiles(probed)
+    val cellsOnDisk = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell="))
+    assert(cellsOnDisk > 4, s"generator produced only $cellsOnDisk cells (premise)")
+    assert(probedFiles < allFiles,
+      s"probe read $probedFiles of $allFiles files — no partition pruning")
+    // and the pruned read yields exactly the in-memory candidate set
+    val wantCand = Similarity.ivfCandidates(emb, queries, nCells, nProbe = 4)
+      .select(col("c.vec_id")).collect().map(_.getLong(0)).toSet
+    val gotCand = probed.filter(col("vec_id") =!= 3L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotCand == wantCand)
+  }
+
   test("FloatLshBucket kernel ≡ declarative md5 plane-sign formulation") {
     val df = embeddings.limit(20)
       .withColumn("emb64",
