@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.crawl.{CrawlConfig, FrontierEngine, LeafPipeline, PageStore, RobotsPolicy, WebSpec}
 import graft.functions.UrlFunctions.hostOf
-import org.apache.spark.sql.functions.{array, col, concat, count, explode, lit, pmod, udf, when, xxhash64}
+import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, explode, lit, pmod, udf, when, xxhash64}
 
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
@@ -469,6 +469,48 @@ object Bench {
     out
   }
 
+  /** Connected-components throughput at dedup-graph scale. The edge
+    * set is `nEdges` edges laid out as disjoint CHAINS of `chainLen`
+    * nodes — the adversarial shape for component finding (a chain of
+    * length L needs ~log L star rounds; the hub/clique shapes real
+    * near-dup graphs mostly contain converge in 2). Fully columnar
+    * deterministic generation. Reports edges/sec, rounds to fixpoint
+    * (the O(log n) convergence evidence), and the component count
+    * found vs expected (an in-artifact correctness check at a scale
+    * the oracle can't reach). */
+  def ccBench(spark: SparkSession, nEdges: Int = 10000000,
+      compLen: Int = 100, shape: String = "chain"): Map[String, Double] = {
+    import graft.ops.DedupGraph
+    val n = nEdges.toLong
+    val p = s"cc_$shape"
+    val edges = shape match {
+      case "chain" => spark.range(n)
+        .filter(pmod(col("id"), lit(compLen)) =!= (compLen - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      case "star" => spark.range(n)
+        .filter(pmod(col("id"), lit(compLen)) =!= 0)
+        .select(col("id").as("doc_a"),
+          (col("id") - pmod(col("id"), lit(compLen))).as("doc_b"))
+      case other => sys.error(s"ccBench: unknown shape $other")
+    }
+    val ((nEdgesReal, nComp, nNodes, rounds), sec, steal, _, _) = timedWithSteal {
+      val ne = edges.count()
+      val (labels, r) = DedupGraph.connectedComponentsWithRounds(edges)
+      val agg = labels.agg(countDistinct("component"), count(lit(1))).first()
+      (ne, agg.getLong(0), agg.getLong(1), r)
+    }
+    Map(
+      s"${p}_edges" -> nEdgesReal.toDouble,
+      s"${p}_edges_per_sec" -> nEdgesReal / sec,
+      s"${p}_sec" -> sec,
+      s"${p}_rounds" -> rounds.toDouble,
+      s"${p}_comp_len" -> compLen.toDouble,
+      s"${p}_components" -> nComp.toDouble,
+      s"${p}_components_expected" -> math.ceil(n.toDouble / compLen),
+      s"${p}_nodes" -> nNodes.toDouble,
+      s"${p}_steal_pct" -> steal)
+  }
+
   /** Politeness-bound fetch throughput — the BASELINE.json headline
     * condition ("under fixed politeness budget"). `nHosts` hosts each
     * capped at `rps` req/s: the ceiling is nHosts×rps and the engine's
@@ -580,6 +622,14 @@ object Bench {
       jaccardBench(spark, sfDir) ++
       annRecallBench(spark, sfDir) ++
       annClusteredRecallBench(spark) ++
+      retryOnSteal("cc_chain", "cc_chain_edges_per_sec", maxTries = 2) {
+        ccBench(spark, shape = "chain",
+          nEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_CC_EDGES", "10000000").toInt)
+      } ++
+      retryOnSteal("cc_star", "cc_star_edges_per_sec", maxTries = 2) {
+        ccBench(spark, shape = "star",
+          nEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_CC_EDGES", "10000000").toInt)
+      } ++
       retryOnSteal("crawl", "crawl_urls_per_sec", maxTries = 2) {
         crawlBench(spark, crawlCats, nHosts = 32)
       }

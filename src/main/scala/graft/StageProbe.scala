@@ -18,6 +18,20 @@ object StageProbe {
       val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.01")
       val m = Bench.annRecallBench(spark, sfDir)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "cc") {
+      val nEdges = args.lift(3).map(_.toInt).getOrElse(10000000)
+      val compLen = args.lift(4).map(_.toInt).getOrElse(100)
+      val shape = args.lift(5).getOrElse("chain")
+      val m = Bench.ccBench(spark, nEdges, compLen, shape)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "ccplan") {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val edges = spark.range(1000000L)
+        .filter(pmod(col("id"), lit(100)) =!= 99)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val round = graft.ops.DedupGraph.starRound(edges)
+      round.collect()
+      round.explain("formatted")
     } else if (args.length > 2 && args(2) == "crecall") {
       val m = Bench.annClusteredRecallBench(spark)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
