@@ -58,6 +58,12 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) => Sampling.hashSplit(documents(s, d))),
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(documents(s, d), 10).select("doc_id", "n_chars")),
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(documents(s, d),
+          org.apache.spark.sql.functions.col("lang"),
+          Map("en" -> 50, "zh" -> 20), defaultPct = 5)
+        .select("doc_id", "lang")),
+    "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
@@ -269,6 +275,22 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 10""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 <
+               CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 5 END""",
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100) % 8
+                     AS shard,
+                   len($TOKS)::BIGINT AS n_toks
+            FROM documents)
+          SELECT doc_id, shard, n_toks,
+                 floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_toks) / 256.0)::BIGINT AS bin
+          FROM t""",
     "dedup_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents),

@@ -36,4 +36,40 @@ object Sampling {
     * ablation corpora share their small rungs. */
   def hashSample(documents: DataFrame, pct: Int): DataFrame =
     documents.filter(hashBucket(col("doc_id")) < pct)
+
+  /** Stratified deterministic sample: per-stratum percentage quotas
+    * (e.g. keep 50% of English, 20% of Chinese, 5% of the rest) — the
+    * language/domain rebalancing step of a training-data mix. Same
+    * hash family as `hashSample`, so each stratum's kept set is the
+    * stratum's own subset-monotone rung. */
+  def stratifiedHashSample(documents: DataFrame, stratum: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    documents.filter(hashBucket(col("doc_id")) < pct)
+  }
+
+  /** Deterministic sequence PACKING for pretraining batches: documents
+    * are routed to `nShards` shards by doc_id hash, laid out in
+    * doc_id order within each shard, and assigned the bin where their
+    * start offset falls (`bin = (cumulative_tokens - own_tokens) /
+    * maxTokens`, integer division) — the greedy offset rule, so a bin
+    * holds ~maxTokens whitespace tokens. Shards make the window
+    * PARALLEL: the only orderBy lives inside a shard partition, never
+    * globally — at 100 TB pick nShards ≈ cluster cores and every
+    * executor packs its shards independently, one exchange total.
+    * Deterministic: same corpus → same bins, regardless of
+    * partitioning or cluster size. */
+  def packSequences(documents: DataFrame, maxTokens: Int = 256,
+      nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    documents
+      .select(col("doc_id"),
+        (hashBucket(col("doc_id")) % nShards).as("shard"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("bin",
+        floor((sum("n_toks").over(w) - col("n_toks")) / maxTokens).cast("long"))
+  }
 }

@@ -98,6 +98,49 @@ class DedupGraphSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.05) < 0.02, frac)
   }
 
+  test("stratifiedHashSample: per-stratum quotas, nested within each stratum") {
+    val docs = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedHashSample(docs, col("lang"),
+      Map("en" -> 60, "zh" -> 10), defaultPct = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val en = kept.count(_._2 == "en") / 1000.0
+    val zh = kept.count(_._2 == "zh") / 2000.0
+    assert(math.abs(en - 0.60) < 0.06, s"en frac $en")
+    assert(math.abs(zh - 0.10) < 0.04, s"zh frac $zh")
+    // the stratified keep set is exactly the per-stratum hashSample
+    val enIds = Sampling.hashSample(docs.filter(col("lang") === "en"), 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "en").map(_._1).toSet == enIds)
+  }
+
+  test("packSequences: bins bounded, deterministic, partitioning-independent") {
+    val docs = (0L until 400L)
+      .map(i => (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val maxTok = 64
+    val packed = Sampling.packSequences(docs, maxTok, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == 400)
+    // in-memory oracle: per shard in doc_id order, bin = startOffset/maxTok
+    packed.groupBy(_._2).foreach { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, bin) =>
+        assert(bin == cum / maxTok, s"doc $id: bin $bin, start $cum")
+        cum += n
+      }
+    }
+    // deterministic under repartitioning
+    val repacked = Sampling.packSequences(docs.repartition(13), maxTok, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(packed.sortBy(_._1).toSeq == repacked.sortBy(_._1).toSeq)
+    // bins within a shard are dense from 0
+    packed.groupBy(_._2).foreach { case (_, ds) =>
+      val bins = ds.map(_._4).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length))
+    }
+  }
+
   test("hashSample: subset-monotone nested rungs") {
     val docs = (0L until 2000L).toDF("doc_id")
     def ids(pct: Int): Set[Long] =
