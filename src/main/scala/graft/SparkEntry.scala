@@ -49,6 +49,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => TextDedup.minhashCandidatePairs(documents(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => TextDedup.ngramJaccardPairs(documents(s, d), 0.8)),
     "dedup_simhash" -> ((s, d) => TextDedup.simhash(documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => TextDedup.simhashPairs(documents(s, d))),
+    "dedup_dup_spans" -> ((s, d) => TextDedup.dupSpanFraction(documents(s, d))),
     "dedup_components" -> ((s, d) =>
       DedupGraph.connectedComponents(
         TextDedup.minhashCandidatePairs(documents(s, d)).select("doc_a", "doc_b"))),
@@ -68,6 +70,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(documents(s, d))),
     "emb_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(embeddings(s, d), 0.4)),
     "ann_brute_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -319,6 +322,58 @@ object SparkEntry {
                            + bits[(4*j+3)::INT]*2 + bits[(4*j+4)::INT])::INT, 1)), '')
                  AS simhash
           FROM b""",
+    // quadratic all-pairs oracle for the banded Spark join; hamming is
+    // computed bitwise from the same 64-bit profile as dedup_simhash
+    // (permutation-invariant, so no BIGINT assembly needed)
+    "dedup_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($TOKS) AS tk FROM documents),
+          b AS (SELECT doc_id, list_transform(range(0,64), i ->
+                 CASE WHEN list_sum(list_transform(tk, t ->
+                   CASE WHEN (('0x' || substr(md5(t), (1 + i//4)::INT, 1))::INT
+                              >> (3 - (i%4))::INT) & 1 = 1
+                   THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bits
+               FROM d)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                   list_sum(list_transform(range(1, 65), i ->
+                     CASE WHEN a.bits[i::INT] <> b2.bits[i::INT]
+                          THEN 1 ELSE 0 END))::INT AS hamming
+            FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+          WHERE hamming <= 3""",
+    "dedup_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS w FROM documents),
+          g AS (SELECT doc_id, unnest(
+                  CASE WHEN len(w) >= 8
+                  THEN list_transform(range(1, len(w)-6),
+                       i -> md5(array_to_string(w[i:i+7], ' ')))
+                  ELSE [] END) AS g FROM t),
+          occ AS (SELECT doc_id, g, count(*) AS occ FROM g GROUP BY 1, 2),
+          dpg AS (SELECT g, count(*) AS n_docs FROM occ GROUP BY 1)
+          SELECT doc_id, sum(occ)::BIGINT AS n_grams,
+                 sum(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END)::BIGINT
+                   AS n_dup_grams,
+                 round(sum(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END)::DOUBLE
+                       / sum(occ), 4) AS dup_frac
+          FROM occ JOIN dpg USING (g) GROUP BY doc_id""",
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS w FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM
+                   (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+          topt AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                          max(c)::BIGINT AS top_token_count FROM tc GROUP BY 1),
+          bc AS (SELECT doc_id, bg, count(*) AS c FROM
+                   (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                      i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bg FROM t)
+                 GROUP BY 1, 2),
+          topb AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_count
+                   FROM bc GROUP BY 1)
+          SELECT topt.doc_id, topt.n_tokens, topt.top_token_count,
+                 coalesce(topb.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+                 round(topt.top_token_count::DOUBLE / topt.n_tokens, 4)
+                   AS top_token_frac,
+                 round(coalesce(topb.top_bigram_count, 0)::DOUBLE
+                       / greatest(topt.n_tokens - 1, 1), 4) AS top_bigram_frac
+          FROM topt LEFT JOIN topb ON topt.doc_id = topb.doc_id""",
     "text_langid" -> {
       val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
         s"len(list_filter($TOKS, t -> ${inList("t", ws)}))::INT AS s_$lang"

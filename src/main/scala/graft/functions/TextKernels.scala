@@ -66,4 +66,26 @@ object TextKernels {
     val fps = winMins.distinct.sorted
     (md5Hex(fps.mkString("")), fps.length)
   }
+
+  /** Within-document repetition stats (the Gopher-style repetition
+    * filter): (n_tokens, count of the most frequent token, count of the
+    * most frequent 2-gram; 0 if fewer than 2 tokens). One pass, two
+    * small hash maps — fractions are derived declaratively so the
+    * rounding matches the oracle. */
+  def repetitionStats(text: String): (Long, Long, Long) = {
+    val w = words(text)
+    if (w.isEmpty) return (0L, 0L, 0L)
+    val tok = collection.mutable.HashMap.empty[String, Long]
+    val big = collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < w.length) {
+      tok.update(w(i), tok.getOrElse(w(i), 0L) + 1L)
+      if (i + 1 < w.length) {
+        val b = s"${w(i)} ${w(i + 1)}"
+        big.update(b, big.getOrElse(b, 0L) + 1L)
+      }
+      i += 1
+    }
+    (w.length.toLong, tok.values.max, if (big.isEmpty) 0L else big.values.max)
+  }
 }

@@ -83,6 +83,31 @@ object TextAnalysis {
     )
   }
 
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filter for training-data curation): most-frequent-token fraction
+    * and most-frequent-bigram fraction — high values flag boilerplate /
+    * degenerate documents. Typed single-pass kernel (two hash maps per
+    * doc): the declarative per-element counting form is quadratic, and
+    * an explode + double-groupBy form costs two shuffles where this is
+    * a pure scan-side projection. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (n, topTok, topBg) = graft.functions.TextKernels.repetitionStats(t)
+        (id, n, topTok, topBg)
+      }
+      .toDF("doc_id", "n_tokens", "top_token_count", "top_bigram_count")
+      .withColumn("top_token_frac",
+        round(col("top_token_count").cast("double") / col("n_tokens"), 4))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_count").cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)), 4))
+  }
+
   /** Winnowing fingerprint: positional 3-word shingles → md5 per
     * shingle → window-of-4 minima → sorted distinct minima → one md5
     * over their concatenation. Typed map (single pass per doc): the

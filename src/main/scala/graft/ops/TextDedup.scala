@@ -239,6 +239,20 @@ object TextDedup {
     * groupBy pass (one shuffle; whole-stage codegen keeps the 64
     * expressions in one operator). */
   def simhash(documents: DataFrame): DataFrame = {
+    val summed = simhashBitSums(documents)
+    val hexDigits: Seq[Column] = (0 until 16).map { j =>
+      val v = (0 until 4).map { b =>
+        when(col(s"b${4 * j + b}") > 0, 1 << (3 - b)).otherwise(0)
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    summed.select(col("doc_id"), concat(hexDigits: _*).as("simhash"))
+  }
+
+  /** Per-doc signed bit sums b0..b63 (one shuffle, 64 conditional sums
+    * in a single map-side-combined groupBy pass) — shared by the hex
+    * rendering (`simhash`) and the Hamming pair join (`simhashPairs`). */
+  private def simhashBitSums(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .withColumn("h", md5(col("t")))
@@ -247,13 +261,91 @@ object TextDedup {
       val bit = shiftright(nibble, 3 - i % 4).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
     }
-    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hexDigits: Seq[Column] = (0 until 16).map { j =>
-      val v = (0 until 4).map { b =>
-        when(col(s"b${4 * j + b}") > 0, 1 << (3 - b)).otherwise(0)
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+  }
+
+  /** The 64 simhash bits assembled into one BIGINT (bit i of the hex
+    * rendering = bit 63-i of the long; any fixed bijection works —
+    * Hamming distance is permutation-invariant). */
+  def simhashLong(documents: DataFrame): DataFrame = {
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), 63 - i)).otherwise(lit(0L))
+    }.reduce(_ + _) // disjoint bit patterns: the sum IS the bitwise OR
+    simhashBitSums(documents).select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-duplicate pairs: all (doc_a < doc_b) with Hamming
+    * distance ≤ `maxHamming` between 64-bit signatures.
+    *
+    * Banded join, PROVABLY LOSSLESS for maxHamming < nBands: the 64
+    * bits split into nBands contiguous bands; ≤ maxHamming differing
+    * bits can touch at most maxHamming bands, so by pigeonhole every
+    * qualifying pair agrees exactly on ≥ 1 band and is found by the
+    * equi-join on (band, key). The exact `bit_count(xor)` post-filter
+    * removes band-collision false positives, so the result equals the
+    * quadratic all-pairs scan.
+    *
+    * Scale: signatures are one shuffle (see simhashBitSums); the pair
+    * join shuffles nBands rows/doc on (band, key) — same shape and same
+    * hot-bucket caveat (AQE skew split) as the MinHash band join. The
+    * merge hint makes the second side a ReusedExchange, so the
+    * signature subtree is computed once. */
+  def simhashPairs(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4
+  ): DataFrame = {
+    require(64 % nBands == 0, s"nBands=$nBands must divide 64")
+    require(maxHamming < nBands,
+      s"banding is lossless only for maxHamming < nBands ($maxHamming >= $nBands)")
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    val bandKeys = (0 until nBands).map { b =>
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
     }
-    summed.select(col("doc_id"), concat(hexDigits: _*).as("simhash"))
+    val bands = simhashLong(documents)
+      .select(col("doc_id"), col("sig"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    bands.as("a").hint("merge")
+      .join(bands.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Cross-document duplicated-span fraction (the exact-substring-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for each doc, the fraction of its positional
+    * `n`-word grams that also occur in at least one OTHER document.
+    * Output: (doc_id, n_grams, n_dup_grams, dup_frac).
+    *
+    * Shape at scale: grams are md5-hashed scan-side (16-byte keys, not
+    * ~50-char strings, through every shuffle); one groupBy(doc, gram)
+    * with map-side combine collapses within-doc repeats BEFORE the
+    * gram-frequency shuffle; groupBy(gram) counts distinct docs; the
+    * join back on gram is hash-partitioned on the same key. No step
+    * holds a per-doc gram set in memory. */
+  def dupSpanFraction(documents: DataFrame, n: Int = 8): DataFrame = {
+    val w = tokens(col("text"))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => md5(array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val occ = documents
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    val docsPerGram = occ.groupBy("g")
+      .agg(count(lit(1)).as("n_docs")) // occ rows are distinct (doc, g)
+    occ.join(docsPerGram, "g")
+      .groupBy("doc_id")
+      .agg(
+        sum("occ").as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("occ")).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 4))
   }
 }

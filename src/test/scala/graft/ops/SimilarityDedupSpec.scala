@@ -213,6 +213,81 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(gotCand == wantCand)
   }
 
+  test("simhashPairs: banded join ≡ quadratic all-pairs Hamming scan") {
+    // near-dup cluster (tiny token edits → small Hamming) + unrelated docs
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // same distinct-token set as doc 1, reordered → identical simhash
+      (2L, "today the lazy dog jumps over the quick brown fox again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely unrelated text about distributed query processing engines"),
+      (5L, "another body of prose concerning streaming watermark semantics")
+    ) ++ (6L to 30L).map(i => (i, s"filler document number $i with token$i salt$i")))
+      .toDF("doc_id", "text")
+    val maxH = 3
+    val got = TextDedup.simhashPairs(docs, maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = TextDedup.simhashLong(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= maxH
+    } yield (ia, ib, h)).toSet
+    assert(want.nonEmpty, "fixture must contain at least one close pair")
+    assert(got == want)
+    // and the banding premise holds: a found pair differs in >0 bands' worth
+    // of positions only when within budget
+    assert(got.forall(_._3 <= maxH))
+  }
+
+  test("dupSpanFraction ≡ naive positional n-gram cross-doc scan") {
+    val n = 4
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),            // grams at pos 1..3
+      (2L, "w1 w2 w3 w4 zz yy"),            // shares gram (w1..w4) with doc 1
+      (3L, "a b c a b c a b c a"),          // internal repeats, no cross-doc
+      (4L, "only three toks"),              // < n tokens → no rows
+      (5L, "w3 w4 w5 w6 tail1 tail2")       // shares (w3..w6) with doc 1
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupSpanFraction(docs, n)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // naive oracle in plain Scala over the same whitespace tokens
+    val grams = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val w = graft.functions.TextKernels.words(t)
+      id -> (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+    }.toMap
+    val docsPerGram = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val want = grams.collect { case (id, gs) if gs.nonEmpty =>
+      val dup = gs.count(g => docsPerGram(g) >= 2).toLong
+      id -> ((gs.size.toLong, dup, math.round(dup.toDouble / gs.size * 10000) / 10000.0))
+    }
+    assert(want.nonEmpty)
+    assert(got == want)
+    assert(!got.contains(4L), "docs shorter than n grams produce no row")
+    assert(got(3L)._2 == 0L, "within-doc repeats alone are not cross-doc dups")
+    assert(got(1L)._2 == 2L, "doc 1 shares one gram with doc 2 and one with doc 5")
+  }
+
+  test("text repetition: top-token and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),       // top token a×3; bigrams: (a a)×2, (a b)×1
+      (2L, "x"),             // single token → no bigrams
+      (3L, "p q p q p")      // top token p×3; bigrams (p q)×2, (q p)×2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((4L, 3L, 2L, 0.75, 0.6667)))
+    assert(got(2L) == ((1L, 1L, 0L, 1.0, 0.0)))
+    assert(got(3L) == ((5L, 3L, 2L, 0.6, 0.5)))
+  }
+
   test("FloatLshBucket kernel ≡ declarative md5 plane-sign formulation") {
     val df = embeddings.limit(20)
       .withColumn("emb64",
