@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables._
-import graft.ops.{DedupGraph, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{CorpusPipeline, DedupGraph, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,8 @@ object SparkEntry {
           Map("en" -> 50, "zh" -> 20), defaultPct = 5)
         .select("doc_id", "lang")),
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
+    "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
+    "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
@@ -294,6 +296,59 @@ object SparkEntry {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_toks) / 256.0)::BIGINT AS bin
           FROM t""",
+    "text_decontaminate" -> {
+      val bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100"
+      s"""WITH b AS (
+            SELECT DISTINCT unnest(${shinglesSql(TOKS)}) AS s FROM documents
+            WHERE $bucket >= 98),
+          t AS (
+            SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents
+            WHERE $bucket < 98)
+          SELECT doc_id, count(*)::BIGINT AS n_hits
+          FROM t JOIN b USING (s)
+          GROUP BY 1"""
+    },
+    "corpus_build" -> {
+      val bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100"
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> ${inList("t", ws)}))::INT AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$r")
+        val ge = if (rest.size == 1) s"s_$l >= ${rest.head}"
+                 else s"s_$l >= greatest(${rest.mkString(", ")})"
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (
+            SELECT doc_id, text, $TOKS AS tk, $bucket AS bucket FROM documents),
+          scored AS (SELECT doc_id, text, tk, bucket, $scores FROM t),
+          filtered AS (
+            SELECT doc_id, text, tk, bucket FROM scored
+            WHERE bucket < 98 AND len(tk) >= 10
+              AND round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.5 +
+                    (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
+                     / len(tk)) * 0.5, 6) >= 0.3
+              AND (CASE $pred ELSE '${langs.last}' END) IN ('en', 'zh')),
+          bsh AS (
+            SELECT DISTINCT unnest(${shinglesSql(TOKS)}) AS s FROM documents
+            WHERE $bucket >= 98),
+          contam AS (
+            SELECT DISTINCT f.doc_id FROM
+              (SELECT doc_id, unnest(${shinglesSql("tk")}) AS s FROM filtered) f
+            JOIN bsh USING (s)),
+          kept AS (
+            SELECT doc_id, bucket,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM filtered)
+          SELECT doc_id,
+                 CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM kept
+          WHERE doc_id = keep_id
+            AND doc_id NOT IN (SELECT doc_id FROM contam)"""
+    },
     "dedup_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents),

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination + the composed corpus-build pipeline —
+  * the two "assemble the training set" steps that sit on top of the
+  * curation primitives (TextAnalysis filters, TextDedup dedup,
+  * Sampling splits).
+  *
+  * Decontamination is the standard eval-leakage guard: any training
+  * document sharing an n-gram with a held-out benchmark document is
+  * flagged and dropped. The benchmark slice here is carved
+  * deterministically out of the same `documents` table (top md5
+  * buckets — the same engine-portable hash family as Sampling) so
+  * tests, the DuckDB oracle, and the bench all see one input table;
+  * swapping in a real external benchmark table is the same code with a
+  * different `bench` frame.
+  *
+  * Scale shape at 100 TB: a real benchmark suite is tiny (10^5-10^7
+  * n-grams), so the bench shingle set is BROADCAST and the probe is a
+  * scan-side broadcast-hash semi join — the corpus side never
+  * shuffles. The only aggregation (`n_hits` per doc) runs over rows
+  * that HIT the benchmark, i.e. the contaminated sliver, not the
+  * corpus; partial map-side combine makes that exchange bytes ~0 for a
+  * clean corpus. A bloom over bench shingles would save the hash-set
+  * probe's memory at most a constant — the broadcast join IS the bloom
+  * with zero false positives here, so no separate filter is built.
+  */
+object CorpusPipeline {
+
+  /** Deterministic benchmark membership: the TOP `benchPct` md5
+    * buckets of doc_id — disjoint by construction from
+    * `Sampling.hashSample`'s low-bucket rungs, stable under corpus
+    * growth. */
+  def isBenchmark(benchPct: Int): Column =
+    Sampling.hashBucket(col("doc_id")) >= lit(100 - benchPct)
+
+  /** Distinct 3-word shingles of the benchmark slice — the broadcast
+    * side of every contamination probe. */
+  def benchShingles(documents: DataFrame, benchPct: Int): DataFrame =
+    documents.filter(isBenchmark(benchPct))
+      .select(explode(TextDedup.shingles3(col("text"))).as("s"))
+      .distinct()
+
+  /** Per-document contamination hit counts against a shingle set:
+    * docs sharing ≥ `minHits` DISTINCT own-shingles with the benchmark
+    * (shingles3 is per-doc distinct, so `count(*)` after the join is a
+    * distinct count with no extra dedup). Returns (doc_id, n_hits)
+    * for flagged docs only. */
+  def contaminationHits(docs: DataFrame, benchSh: DataFrame,
+      minHits: Long): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextDedup.shingles3(col("text"))).as("s"))
+      .join(broadcast(benchSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+
+  /** Benchmark decontamination over one table: flag every
+    * non-benchmark document that shares ≥ `minHits` 3-word shingles
+    * with any benchmark document. */
+  def decontaminate(documents: DataFrame, benchPct: Int = 2,
+      minHits: Long = 1): DataFrame =
+    contaminationHits(documents.filter(!isBenchmark(benchPct)),
+      benchShingles(documents, benchPct), minHits)
+
+  /** The composed corpus build — the whole curation pipeline as ONE
+    * declarative plan Catalyst optimizes end-to-end:
+    *
+    *   1. drop the benchmark slice (it is eval data, never train);
+    *   2. quality gate: ≥ `minTokens` tokens AND quality ≥ `minQuality`;
+    *   3. language gate: predicted language ∈ `langs`;
+    *   4. exact dedup among survivors (first doc_id per md5(text) wins);
+    *   5. decontaminate survivors against the benchmark shingles —
+    *      applied AFTER dedup keeper selection, so a contaminated
+    *      keeper's duplicates stay dropped (they are still duplicates
+    *      of contaminated text);
+    *   6. deterministic train/val/test split.
+    *
+    * Steps 1-3 are scan-side predicates on ONE pass over the table
+    * (filters collapse into the parquet scan); step 4 is the pipeline's
+    * single corpus-sized shuffle (window on md5(text)); step 5 is a
+    * broadcast semi-join probe plus a left-anti against the flagged
+    * sliver; step 6 is a projection. Net cost at 100 TB: one scan + one
+    * hash-partitioned exchange of (doc_id, text-hash) survivors.
+    */
+  def corpusBuild(documents: DataFrame, benchPct: Int = 2,
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en", "zh"),
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val toks = TextDedup.tokens(col("text"))
+    val filtered = documents
+      .filter(!isBenchmark(benchPct))
+      .filter(size(toks) >= minTokens)
+      .filter(TextAnalysis.qualityScore(toks) >= minQuality)
+      .filter(TextAnalysis.bestLang(toks).getField("lang").isin(langs: _*))
+    val deduped = filtered
+      .withColumn("__keep",
+        min("doc_id").over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__keep"))
+    val contaminated = contaminationHits(filtered,
+      benchShingles(documents, benchPct), minHits = 1).select("doc_id")
+    val b = Sampling.hashBucket(col("doc_id"))
+    deduped
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+}

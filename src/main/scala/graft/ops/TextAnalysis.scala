@@ -25,23 +25,40 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "和")
   )
 
-  /** N-gram/stopword language-ID heuristic: score(lang) = #tokens in
-    * that language's marker set; predicted = argmax, ties to the
-    * alphabetically-first language (profiles are pre-sorted). */
-  def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Argmax (score, lang) struct over the profiles for a token array —
+    * ties to the alphabetically-first language (profiles are
+    * pre-sorted): reduce left-to-right keeping strict >. Exposed so the
+    * corpus-build pipeline can filter on the prediction without a join
+    * back to `langId`'s output. */
+  def bestLang(toks: Column): Column = {
     val scored = langProfiles.map { case (lang, words) =>
       struct(
         size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).as("score"),
         lit(lang).as("lang")
       )
     }
-    // array_max on struct(score, lang): max score, then max lang — to get
-    // alphabetical-FIRST tie-break, compare on (score, reversed-lang) is
-    // overkill; instead reduce explicitly left-to-right keeping strict >
-    val best = scored.reduceLeft { (a, b) =>
+    scored.reduceLeft { (a, b) =>
       when(b.getField("score") > a.getField("score"), b).otherwise(a)
     }
+  }
+
+  /** Composite quality score in [0,1] (rounded to 6 so the DuckDB
+    * oracle agrees bit-for-bit): half length-saturation, half stopword
+    * ratio. */
+  def qualityScore(toks: Column): Column = {
+    val stop = langProfiles.flatMap(_._2).distinct
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _)))
+    round(
+      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (nStop.cast("double") / nTok) * 0.5, 6)
+  }
+
+  /** N-gram/stopword language-ID heuristic: score(lang) = #tokens in
+    * that language's marker set; predicted = argmax, ties to the
+    * alphabetically-first language (profiles are pre-sorted). */
+  def langId(documents: DataFrame): DataFrame = {
+    val best = bestLang(tokens(col("text")))
     documents.select(
       col("doc_id"),
       col("lang").as("labeled_lang"),
@@ -64,9 +81,7 @@ object TextAnalysis {
       nTok.as("n_tokens"),
       round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
       round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-      round(
-        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
-          (nStop.cast("double") / nTok) * 0.5, 6).as("quality")
+      qualityScore(toks).as("quality")
     )
   }
 

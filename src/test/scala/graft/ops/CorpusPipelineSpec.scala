@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Decontamination + corpus-build pipeline, pinned against scalar
+  * Scala oracles on planted fixtures (the DuckDB oracle covers the
+  * same ops at sf scale; these pin the SEMANTICS: which docs get
+  * flagged, pipeline stage order, keeper-vs-duplicate fate).
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Same md5-bucket as Sampling.hashBucket, computed in scalar Scala. */
+  private def bucket(id: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.take(2).map(b => f"$b%02x").mkString
+    Integer.parseInt(hex, 16) % 100
+  }
+
+  private def shingles(text: String): Set[String] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    if (w.length < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  // role-cast ids: benchmark = bucket >= 98, the rest train-side
+  private val ids = (0L until 600L)
+  private val benchIds = ids.filter(bucket(_) >= 98)
+  private val trainIds = ids.filter(bucket(_) < 98)
+
+  test("decontaminate flags exactly the docs sharing a shingle with the bench slice") {
+    assert(benchIds.nonEmpty, "fixture needs at least one benchmark id")
+    val bench0 = benchIds.head
+    // planted: first two train docs copy a 3-gram from bench0's text
+    val benchText = s"secret eval answer b$bench0 unique"
+    val hit1 = trainIds(0) // shares "secret eval answer"
+    val hit2 = trainIds(1) // shares two bench shingles
+    val docs = ids.map { id =>
+      val text =
+        if (id == bench0) benchText
+        else if (benchIds.contains(id)) s"bench only b$id words here"
+        else if (id == hit1) s"intro secret eval answer outro t$id"
+        else if (id == hit2) s"secret eval answer b$bench0 t$id"
+        else s"clean doc t$id alpha beta gamma"
+      (id, text)
+    }.toDF("doc_id", "text")
+
+    val got = CorpusPipeline.decontaminate(docs, benchPct = 2, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+
+    // scalar oracle over the same fixture
+    val all = docs.as[(Long, String)].collect().toMap
+    val benchSh = benchIds.flatMap(id => shingles(all(id))).toSet
+    val want = trainIds.map { id =>
+      id -> shingles(all(id)).count(benchSh.contains)
+    }.filter(_._2 >= 1).toMap
+    assert(got == want.map { case (k, v) => k -> v.toLong })
+    assert(got.contains(hit1) && got.contains(hit2))
+    assert(got(hit2) >= got(hit1))
+  }
+
+  test("corpusBuild applies gates, dedup, decontamination, and split in pipeline order") {
+    assert(benchIds.nonEmpty)
+    val bench0 = benchIds.head
+    val benchText = s"held out probe x$bench0 y z"
+    // quality-passing base: 10 tokens, 5 en stopwords → quality exactly 0.3
+    def en(id: Long) = s"the a of and to w$id x$id y$id z$id q$id"
+    val short = trainIds(0)              // fails minTokens
+    val de = trainIds(1)                 // fails language gate
+    val dupKeep = trainIds(2)            // duplicate pair: min id kept
+    val dupDrop = trainIds(3)
+    require(dupKeep < dupDrop)
+    val contamKeep = trainIds(4)         // contaminated keeper of a dup pair
+    val contamDup = trainIds(5)          // its duplicate — must stay dropped too
+    require(contamKeep < contamDup)
+    val docs = ids.map { id =>
+      val text =
+        if (benchIds.contains(id)) benchText
+        else if (id == short) "w x"
+        else if (id == de) s"der die das und ist w$id x$id y$id z$id q$id"
+        else if (id == dupKeep || id == dupDrop) en(dupKeep)
+        else if (id == contamKeep || id == contamDup)
+          s"the a of and to held out probe x$bench0 c"
+        else en(id)
+      (id, text)
+    }.toDF("doc_id", "text")
+
+    val got = CorpusPipeline.corpusBuild(docs, benchPct = 2)
+      .as[(Long, String)].collect().toMap
+
+    // excluded: bench slice, gate failures, dup loser, contaminated pair
+    assert(benchIds.forall(!got.contains(_)))
+    assert(!got.contains(short) && !got.contains(de))
+    assert(got.contains(dupKeep) && !got.contains(dupDrop))
+    assert(!got.contains(contamKeep) && !got.contains(contamDup))
+    // everyone else survives with the hash split
+    val expectSurvivors = trainIds.toSet --
+      Set(short, de, dupDrop, contamKeep, contamDup)
+    assert(got.keySet == expectSurvivors)
+    got.foreach { case (id, split) =>
+      val b = bucket(id)
+      val want = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split == want, s"doc $id bucket $b")
+    }
+  }
+}
