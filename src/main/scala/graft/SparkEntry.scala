@@ -68,12 +68,27 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
+    "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d))),
+    "text_scrub" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      // synthetic PII appended deterministically (mirrored in the
+      // oracle SQL) so the regex parity check is non-trivial even on a
+      // PII-free corpus
+      TextAnalysis.scrubPii(documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact doc"), col("doc_id"),
+          lit("@example.com or https://h.example/p/"), col("doc_id"))
+          .as("text")))
+    }),
     "text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(documents(s, d))),
     "emb_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(embeddings(s, d), 0.4)),
+    "dedup_semantic_pairs" -> ((s, d) =>
+      Similarity.semanticPairs(embeddings(s, d), 0.35)),
+    "dedup_semantic_survivors" -> ((s, d) =>
+      Similarity.semanticSurvivors(embeddings(s, d), 0.35)),
     "ann_brute_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 8), 5)
@@ -169,6 +184,28 @@ object SparkEntry {
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
+
+  /** IVF cell assignment CTEs (mirrors Similarity.assignIvfCells):
+    * pivots = 32 lowest vec_ids, cell = argmax-cosine pivot with the
+    * lowest-pivot tie-break via row_number. Yields `e(vec_id,
+    * embedding, nrm)` and `cells(vec_id, cell)`. */
+  private val ivfCellsSql =
+    s"""e AS (SELECT vec_id, embedding,
+              sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+        piv AS (SELECT vec_id AS pvt, embedding, nrm FROM e WHERE vec_id < 32),
+        pc AS (SELECT e.vec_id, p.pvt,
+                ${dotSql("e.embedding", "p.embedding")} / (e.nrm * p.nrm) AS pcos
+               FROM e, piv p),
+        cellr AS (SELECT vec_id, pvt,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY pcos DESC, pvt ASC) AS r FROM pc),
+        cells AS (SELECT vec_id, pvt AS cell FROM cellr WHERE r = 1),
+        semj AS (SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b,
+                  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                 FROM cells ca JOIN cells cb
+                   ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+                 JOIN e a ON a.vec_id = ca.vec_id
+                 JOIN e b ON b.vec_id = cb.vec_id)"""
 
   private val stopwords = TextAnalysis.langProfiles.flatMap(_._2).distinct
   private def inList(v: String, ws: Seq[String]) =
@@ -459,6 +496,28 @@ object SparkEntry {
                        (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
                         / len(tk)) * 0.5, 6) AS quality
           FROM t""",
+    "text_vocabulary" ->
+      s"""SELECT token, count(*)::BIGINT AS freq
+          FROM (SELECT unnest($TOKS) AS token FROM documents)
+          GROUP BY 1
+          ORDER BY freq DESC, token ASC
+          LIMIT 100""",
+    "text_scrub" -> {
+      val email = TextAnalysis.EmailRe
+      val url = TextAnalysis.UrlRe
+      s"""WITH t AS (
+            SELECT doc_id,
+                   text || ' contact doc' || doc_id::VARCHAR ||
+                   '@example.com or https://h.example/p/' || doc_id::VARCHAR
+                     AS text
+            FROM documents)
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '$email'))::INT AS n_emails,
+                 len(regexp_extract_all(text, '$url'))::INT AS n_urls,
+                 regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+                                '$url', '<URL>', 'g') AS text_scrubbed
+          FROM t"""
+    },
     "text_tokens" ->
       s"""SELECT doc_id,
                  len($TOKS)::INT AS n_tokens,
@@ -488,6 +547,25 @@ object SparkEntry {
                  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""",
+    "dedup_semantic_pairs" ->
+      s"""WITH $ivfCellsSql
+          SELECT vec_a, vec_b, round(cos, 4) AS cos FROM semj
+          WHERE cos >= 0.35""",
+    "dedup_semantic_survivors" ->
+      s"""WITH RECURSIVE $ivfCellsSql,
+          sp AS (SELECT vec_a, vec_b FROM semj WHERE cos >= 0.35),
+          edges AS (SELECT vec_a AS u, vec_b AS v FROM sp
+                    UNION SELECT vec_b, vec_a FROM sp),
+          reach(src, dst) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT r.src, e2.v FROM reach r JOIN edges e2 ON e2.u = r.dst),
+          comp AS (SELECT src AS vec_id, min(dst) AS component
+                   FROM reach GROUP BY src)
+          SELECT emb.vec_id,
+                 coalesce(c.component, emb.vec_id) AS component,
+                 (c.component IS NULL OR emb.vec_id = c.component) AS keep
+          FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""",
     "ann_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding,
                  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),

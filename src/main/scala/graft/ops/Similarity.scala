@@ -318,6 +318,36 @@ object Similarity {
       .drop("pcos")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: the IVF coarse
+    * quantizer assigns every embedding to a cell (scan-side argmax —
+    * zero shuffle), then exact cosine pairs are computed only WITHIN a
+    * cell by reusing `cosinePairs` with the cell as the blocking
+    * label — so the hot-cell block join (sub-cell splitting at
+    * `cellCap`) guards the quadratic blowup here too. Cross-cell
+    * near-dups are missed by construction (the recall/cost dial is
+    * `nCells`): pair volume is ~1/nCells of all-pairs, and every
+    * shuffle keys on the cell — at 100 TB the corpus can be STORED
+    * partitioned by cell (`assignIvfCells(...).write.partitionBy`)
+    * and this join runs per-partition with no exchange at all. */
+  def semanticPairs(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 32, cellCap: Int = 4096): DataFrame =
+    cosinePairs(
+      assignIvfCells(embeddings, nCells)
+        .select(col("vec_id"), col("cell").as("label"), col("embedding")),
+      threshold, cellCap)
+
+  /** Semantic dedup resolved to per-cluster representatives: connected
+    * components over the semantic pair graph (same large-star/
+    * small-star machinery as text dedup), `keep` = the cluster's min
+    * vec_id and every unpaired embedding. */
+  def semanticSurvivors(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 32, cellCap: Int = 4096): DataFrame =
+    DedupGraph.survivors(
+      embeddings.select(col("vec_id").as("doc_id")),
+      semanticPairs(embeddings, threshold, nCells, cellCap)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("component"), col("keep"))
+
   /** The IVF candidate join (scored, pre-top-k) — shared by the top-k
     * op and the bench's candidate-volume probe. A candidate lives in
     * exactly one cell and a query's probes are distinct, so pairs are

@@ -85,6 +85,38 @@ object TextAnalysis {
     )
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with a
+    * deterministic (freq DESC, token ASC) tie-break. The shape that
+    * matters at 100 TB: explode feeds a PARTIAL hash aggregate before
+    * the exchange, so the shuffle carries one row per (partition,
+    * distinct token) — stopword skew lands in the map-side combine,
+    * not on one reducer — and the global top-k is TakeOrderedAndProject
+    * (per-partition heaps of k, never a full sort). */
+  def vocabulary(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** PII scrubbing pass: masks email addresses and URLs with typed
+    * placeholder tokens and reports per-doc match counts (the audit
+    * trail a redaction pipeline keeps). Patterns are deliberately in
+    * the common RE2/Java subset so the DuckDB oracle applies the SAME
+    * regexes; a production pass swaps in stricter patterns without
+    * changing the plan shape — a pure scan-side projection. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(UrlRe), lit("<URL>")).as("text_scrubbed"))
+
   /** Token statistics: whitespace tokens, distinct tokens, and BPE-ish
     * subtokens (maximal lowercase-alpha runs — a portable regex). */
   def tokenStats(documents: DataFrame): DataFrame = {

@@ -104,4 +104,26 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(split == want, s"doc $id bucket $b")
     }
   }
+
+  test("vocabulary: top-k frequencies with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a c d d"),
+      (3L, "e  e")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, k = 4)
+      .as[(String, Long)].collect().toSeq
+    // freq: a=3, b=3, d=2, e=2, c=2 → top-4 with (freq DESC, token ASC)
+    assert(got == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
+  }
+
+  test("scrubPii masks emails and urls and counts matches") {
+    val docs = Seq(
+      (1L, "write to a.b@x.org or c%d@y.co.uk and see https://h.io/p?q=1 end"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, 1,
+      "write to <EMAIL> or <EMAIL> and see <URL> end")))
+    assert(got(1) == ((2L, 0, 0, "no pii here")))
+  }
 }

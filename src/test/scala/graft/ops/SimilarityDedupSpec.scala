@@ -312,4 +312,83 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
+
+  // SemDeDup fixture: 100 base vectors + planted exact-direction copies
+  // (scaled — cosine is scale-invariant, so copies share the argmax
+  // cell by construction). vec_ids 0..7 are the IVF pivots.
+  private lazy val semEmbeddings = {
+    def base(id: Long) = Array.tabulate(16)(i =>
+      math.sin(id * 17 + i * 3).toFloat)
+    val planted = Seq(
+      200L -> base(50).map(_ * 2.0f),   // cluster {50, 200, 201}
+      201L -> base(50).map(_ * 0.5f),
+      210L -> base(60).map(_ * 3.0f))   // cluster {60, 210}
+    ((0L until 100L).map(id => (id, base(id))) ++ planted)
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semanticPairs ≡ within-cell all-pairs cosine; copies land in one cell") {
+    val n = 8
+    val cells = Similarity.assignIvfCells(semEmbeddings, n)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(200L) == cells(50L) && cells(201L) == cells(50L))
+    assert(cells(210L) == cells(60L))
+
+    val got = Similarity.semanticPairs(semEmbeddings, 0.999, n)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+
+    // scalar oracle: same-cell pairs with exact cosine ≥ threshold
+    val vecs = semEmbeddings.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val idsSorted = vecs.keys.toSeq.sorted
+    val want = (for {
+      a <- idsSorted; b <- idsSorted
+      if a < b && cells(a) == cells(b) && cos(vecs(a), vecs(b)) >= 0.999
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(got.contains((50L, 200L)) && got.contains((50L, 201L)) &&
+      got.contains((200L, 201L)) && got.contains((60L, 210L)))
+  }
+
+  test("semanticSurvivors ≡ union-find over the scalar pair oracle") {
+    val rows = Similarity.semanticSurvivors(semEmbeddings, 0.999, 8)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == semEmbeddings.count())
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // scalar oracle: same-cell cosine pairs → union-find components
+    val cells = Similarity.assignIvfCells(semEmbeddings, 8)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val vecs = semEmbeddings.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val idsSorted = vecs.keys.toSeq.sorted
+    val pairs = for {
+      a <- idsSorted; b <- idsSorted
+      if a < b && cells(a) == cells(b) && cos(vecs(a), vecs(b)) >= 0.999
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map(idsSorted.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    idsSorted.foreach { id =>
+      val comp = find(id)
+      val keep = !paired(id) || id == comp
+      assert(byId(id) == ((comp, keep)), s"vec $id")
+    }
+    // the planted copies collapse onto base 50's / base 60's components
+    assert(byId(200L) == byId(201L) && !byId(200L)._2 && !byId(201L)._2)
+    assert(byId(210L)._1 == byId(60L)._1 && !byId(210L)._2)
+  }
 }
