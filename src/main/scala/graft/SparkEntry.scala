@@ -69,6 +69,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d))),
+    "text_lm_bits" -> ((s, d) => TextAnalysis.unigramLogLoss(documents(s, d))),
     "text_scrub" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, lit}
       // synthetic PII appended deterministically (mirrored in the
@@ -502,6 +503,16 @@ object SparkEntry {
           GROUP BY 1
           ORDER BY freq DESC, token ASC
           LIMIT 100""",
+    "text_lm_bits" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS token FROM documents),
+          cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+          v AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 1000),
+          n AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+          SELECT doc_id,
+                 round(avg(-log2(coalesce(v.c, 1)::DOUBLE / n.n)), 4)
+                   AS bits_per_token
+          FROM tok LEFT JOIN v USING (token) CROSS JOIN n
+          GROUP BY 1""",
     "text_scrub" -> {
       val email = TextAnalysis.EmailRe
       val url = TextAnalysis.UrlRe

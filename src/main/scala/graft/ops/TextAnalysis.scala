@@ -117,6 +117,32 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
         lit(UrlRe), lit("<URL>")).as("text_scrubbed"))
 
+  /** Unigram language-model score — the perplexity-proxy quality
+    * filter: bits_per_token = avg over a doc's tokens of
+    * −log2(p(token)), with p estimated from the corpus itself (top
+    * `vocabSize` tokens; everything else backs off to count 1 —
+    * Laplace-ish OOV). High values flag gibberish/rare-token soup,
+    * very low values flag boilerplate — both curation cut points.
+    *
+    * Two corpus passes, both skew-proof: (1) vocabulary counts
+    * (map-side partial agg, top-V heap); (2) explode + LEFT join
+    * against the BROADCAST vocab (V rows) + per-doc avg. The per-doc
+    * aggregate shuffles (doc_id, bits) pairs only. The corpus-total
+    * token count rides a 1-row broadcast cross join — no collect. */
+  def unigramLogLoss(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val vocab = cnt.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+    val total = cnt.agg(sum("c").as("n"))
+    tok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log2(coalesce(col("c"), lit(1L)).cast("double") /
+        col("n"))), 4).as("bits_per_token"))
+  }
+
   /** Token statistics: whitespace tokens, distinct tokens, and BPE-ish
     * subtokens (maximal lowercase-alpha runs — a portable regex). */
   def tokenStats(documents: DataFrame): DataFrame = {

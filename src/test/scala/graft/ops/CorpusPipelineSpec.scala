@@ -116,6 +116,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 2L))
   }
 
+  test("unigramLogLoss: bits per token vs scalar formula, OOV backs off to count 1") {
+    // vocabSize 2 → vocab = {a (5), b (3)}; c and d are OOV (count 1 backoff)
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a a b b d"),
+      (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogLoss(docs, vocabSize = 2)
+      .as[(Long, Double)].collect().toMap
+    val n = 10.0 // total corpus tokens
+    def bits(c: Double) = -math.log(c / n) / math.log(2)
+    def r4(x: Double) = // Spark's round = BigDecimal HALF_UP
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r4((2 * bits(5) + bits(3) + bits(1)) / 4))
+    assert(got(2L) == r4((2 * bits(5) + 2 * bits(3) + bits(1)) / 5))
+    assert(got(3L) == r4(bits(5)))
+  }
+
   test("scrubPii masks emails and urls and counts matches") {
     val docs = Seq(
       (1L, "write to a.b@x.org or c%d@y.co.uk and see https://h.io/p?q=1 end"),
