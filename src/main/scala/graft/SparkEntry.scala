@@ -57,6 +57,19 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       DedupGraph.survivors(documents(s, d),
         TextDedup.minhashCandidatePairs(documents(s, d)).select("doc_a", "doc_b"))),
+    // incremental dedup: new batch = top-20 md5 buckets, corpus = rest
+    "dedup_incremental_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val b = Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id"))
+      TextDedup.incrementalMinhashPairs(
+        docs.filter(b >= 80),
+        TextDedup.minhashBandRows(docs.filter(b < 80)))
+    }),
+    "dedup_incremental_exact" -> ((s, d) => {
+      val docs = documents(s, d)
+      val b = Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id"))
+      TextDedup.incrementalExactSurvivors(docs.filter(b >= 80), docs.filter(b < 80))
+    }),
     "q_hash_split" -> ((s, d) => Sampling.hashSplit(documents(s, d))),
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(documents(s, d), 10).select("doc_id", "n_chars")),
@@ -170,6 +183,25 @@ object SparkEntry {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2"""
+
+  /** incremental dedup split: band join between new (bucket ≥ 80) and
+    * corpus (bucket < 80) sides; signatures computed over ALL docs
+    * (per-doc, so the split is a pure filter) */
+  private val incrementalPairsSql =
+    s"""WITH sigs AS ($minhashSigsSql),
+        bands AS (
+          SELECT doc_id, (k // 4)::INT AS band,
+                 md5(string_agg(minhash::VARCHAR, '|' ORDER BY k)) AS band_hash
+          FROM sigs GROUP BY 1, 2),
+        bk AS (
+          SELECT doc_id, band, band_hash,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket
+          FROM bands)
+        SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, count(*) AS n_bands
+        FROM bk n JOIN bk o
+          ON n.band = o.band AND n.band_hash = o.band_hash
+        WHERE n.bucket >= 80 AND o.bucket < 80
         GROUP BY 1, 2"""
 
   /** transitive closure of the minhash pairs → per-node component min
@@ -558,6 +590,18 @@ object SparkEntry {
                  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""",
+    "dedup_incremental_pairs" -> incrementalPairsSql,
+    "dedup_incremental_exact" ->
+      """WITH d AS (
+           SELECT doc_id, md5(text) AS h,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket
+           FROM documents),
+         newb AS (SELECT doc_id, h,
+                    min(doc_id) OVER (PARTITION BY h) AS keep_id
+                  FROM d WHERE bucket >= 80),
+         oldh AS (SELECT DISTINCT h FROM d WHERE bucket < 80)
+         SELECT doc_id, h AS text_hash FROM newb
+         WHERE doc_id = keep_id AND h NOT IN (SELECT h FROM oldh)""",
     "dedup_semantic_pairs" ->
       s"""WITH $ivfCellsSql
           SELECT vec_a, vec_b, round(cos, 4) AS cos FROM semj

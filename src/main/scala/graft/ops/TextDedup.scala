@@ -106,7 +106,12 @@ object TextDedup {
     * re-assembly both shuffled the signature rows and was recomputed on
     * each side of the self-join), then sliced into band hashes; the
     * only shuffle left is the candidate join on (band, band_hash). */
-  def minhashCandidatePairs(
+  /** LSH band rows (doc_id, band, band_hash) — the signature INDEX.
+    * Public because at scale this is what gets PERSISTED: the corpus's
+    * band rows are written once (partitioned/bucketed on (band,
+    * band_hash)) and every later batch joins against the stored index
+    * instead of re-shingling the corpus (see incrementalMinhashPairs). */
+  def minhashBandRows(
       documents: DataFrame,
       nSig: Int = 16,
       rowsPerBand: Int = 4
@@ -116,10 +121,18 @@ object TextDedup {
       md5(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}").cast("string")): _*))
     }
-    val bands = minhashWide(documents, nSig)
+    minhashWide(documents, nSig)
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  def minhashCandidatePairs(
+      documents: DataFrame,
+      nSig: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val bands = minhashBandRows(documents, nSig, rowsPerBand)
     // merge-hint both sides: a broadcast self-join would plan the whole
     // scan→shingle→md5→min-agg signature subtree TWICE (BroadcastExchange
     // never matches a shuffle Exchange, so ReuseExchange can't fire); a
@@ -134,6 +147,45 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental (cross-corpus) MinHash dedup — the continual-crawl
+    * shape: a NEW batch is checked against the EXISTING corpus without
+    * re-shingling it. `corpusBands` is the corpus's persisted band-row
+    * index (`minhashBandRows` output, stored once, bucketed on
+    * (band, band_hash)); only the delta pays the shingle+md5 cost, and
+    * the join shuffles the delta's band rows against the index — with
+    * a bucketed index table the corpus side needs no exchange at all
+    * (same storage-partitioned-join trick as the frontier's seen
+    * mirror, BucketedMirror). Output: (doc_new, doc_old, n_bands). */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame,
+      corpusBands: DataFrame,
+      nSig: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame =
+    minhashBandRows(newDocs, nSig, rowsPerBand).as("n")
+      .join(corpusBands.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_hash") === col("o.band_hash"))
+      .groupBy(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .agg(count(lit(1)).as("n_bands"))
+
+  /** Incremental exact dedup: the new batch's append survivors —
+    * first-doc_id-per-hash WITHIN the batch, minus anything whose text
+    * hash already exists in the corpus. The corpus side reduces to a
+    * distinct-hash set (at scale: the persisted hash index, probed
+    * through the same sharded-bloom prefilter as the frontier seen
+    * set); the anti-join shuffles batch-sized sides only. */
+  def incrementalExactSurvivors(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val newH = newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val oldH = corpus.select(md5(col("text")).as("text_hash")).distinct()
+    newH
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
+      .filter(col("doc_id") === col("keep_id"))
+      .join(oldH, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
   }
 
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING

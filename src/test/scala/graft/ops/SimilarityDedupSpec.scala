@@ -313,6 +313,46 @@ class SimilarityDedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("incrementalMinhashPairs ≡ cross-side slice of the full self-join") {
+    val docs = (1L to 40L).map { id =>
+      // clusters of 4 near-identical docs so LSH bands collide
+      val cluster = (id - 1) / 4
+      val words = (0 until 12).map(w => s"c${cluster}w$w").updated(
+        (id % 4).toInt, s"var$id")
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val isNew = (id: Long) => id % 2 == 0
+    val newDocs = docs.filter(col("doc_id") % 2 === 0)
+    val oldDocs = docs.filter(col("doc_id") % 2 === 1)
+
+    val inc = TextDedup.incrementalMinhashPairs(
+      newDocs, TextDedup.minhashBandRows(oldDocs))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, o, c) => (n, o) -> c }.toMap
+
+    val full = TextDedup.minhashCandidatePairs(docs)
+      .as[(Long, Long, Long)].collect()
+    val crossWant = full.collect {
+      case (a, b, c) if isNew(a) && !isNew(b) => (a, b) -> c
+      case (a, b, c) if !isNew(a) && isNew(b) => (b, a) -> c
+    }.toMap
+    assert(inc.nonEmpty)
+    assert(inc == crossWant)
+  }
+
+  test("incrementalExactSurvivors: batch self-dedup plus corpus anti-join") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"),   // exists in corpus → dropped
+      (11L, "fresh text a"), // unique → kept
+      (12L, "fresh text b"), // dup pair within batch → 12 kept
+      (13L, "fresh text b")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.incrementalExactSurvivors(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L))
+  }
+
   // SemDeDup fixture: 100 base vectors + planted exact-direction copies
   // (scaled — cosine is scale-invariant, so copies share the argmax
   // cell by construction). vec_ids 0..7 are the IVF pivots.
