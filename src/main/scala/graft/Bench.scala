@@ -341,6 +341,83 @@ object Bench {
     * blow-up a hot shingle causes) vs the same formula over the
     * frequency-ordered prefixes actually indexed, plus the surviving
     * candidate pairs. */
+  /** Text-dedup / corpus-build scale probe (StageProbe mode
+    * `textdedup`, not part of the per-round bench): the minhash family
+    * measured at corpus sizes the sf tables can't reach. Synthetic
+    * clustered docs — 4 docs per cluster sharing an 11-word
+    * cluster-namespaced tail plus one per-doc word, with a 5-stopword
+    * head so the corpus-build gates pass — written to parquet first so
+    * every leg reads a real scan. Three legs:
+    *  1. index build: `minhashBandRows` over the corpus → parquet (the
+    *     persisted signature index; shingle+md5+min-agg dominated);
+    *  2. incremental batch: 1% new docs (near-dups of existing
+    *     clusters) joined against the STORED index — the continual
+    *     ingest shape; corpus is read, never re-shingled;
+    *  3. corpus_build end-to-end (gates → window dedup → decontaminate
+    *     → split) over the same corpus.
+    */
+  def textDedupBench(spark: SparkSession, nDocs: Long): Map[String, Double] = {
+    import org.apache.spark.sql.functions.concat_ws
+    val dir = java.nio.file.Files.createTempDirectory("grafttd").toString
+    def docsOf(ids: org.apache.spark.sql.DataFrame,
+        docId: org.apache.spark.sql.Column,
+        cluster: org.apache.spark.sql.Column) = {
+      // stopwords INTERLEAVED with cluster words: every 3-shingle
+      // contains a cluster-specific token, so no global shingle exists
+      // (a constant stopword run would make every doc share "the a of"
+      // with the benchmark slice and decontamination would flag the
+      // whole corpus)
+      val stop = Seq("the", "a", "of", "and", "to")
+      val words = (1 to 11).flatMap { j =>
+        val cw = concat(lit("c"), cluster, lit(s"w$j"))
+        if (j <= stop.length) Seq(lit(stop(j - 1)), cw) else Seq(cw)
+      } :+ concat(lit("var"), docId)
+      ids.select(docId.as("doc_id"), concat_ws(" ", words: _*).as("text"))
+    }
+    docsOf(spark.range(nDocs).toDF("id"),
+        col("id"), (col("id") / 4).cast("long"))
+      .repartition(32).write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+
+    // leg 1: build + persist the band-row index
+    val (_, idxSec, idxSteal, _, _) = timedWithSteal {
+      graft.ops.TextDedup.minhashBandRows(docs)
+        .write.parquet(s"$dir/band_index")
+    }
+    val index = spark.read.parquet(s"$dir/band_index")
+
+    // leg 2: 1% incremental batch — fresh doc_ids whose cluster tails
+    // spread across the EXISTING clusters (each batch doc is a near-dup
+    // of a stored cluster) — joined against the stored index
+    val nBatch = math.max(1000L, nDocs / 100)
+    val step = math.max(1L, nDocs / nBatch)
+    val batch = docsOf(spark.range(nBatch).toDF("id"),
+      col("id") + nDocs, ((col("id") * step) / 4).cast("long"))
+    val (incPairs, incSec, incSteal, _, _) = timedWithSteal {
+      graft.ops.TextDedup.incrementalMinhashPairs(batch, index).count()
+    }
+
+    // leg 3: corpus_build end-to-end (minQuality tuned to the synthetic
+    // stopword ratio: 5/17 tokens → quality ≈ 0.232)
+    val (survivors, cbSec, cbSteal, _, _) = timedWithSteal {
+      graft.ops.CorpusPipeline.corpusBuild(docs, minQuality = 0.2).count()
+    }
+    Map(
+      "td_docs" -> nDocs.toDouble,
+      "td_index_sec" -> idxSec,
+      "td_index_docs_per_sec" -> nDocs / idxSec,
+      "td_index_steal_pct" -> idxSteal,
+      "td_inc_batch_docs" -> nBatch.toDouble,
+      "td_inc_sec" -> incSec,
+      "td_inc_batch_docs_per_sec" -> nBatch / incSec,
+      "td_inc_pairs" -> incPairs.toDouble,
+      "td_inc_steal_pct" -> incSteal,
+      "td_corpus_build_sec" -> cbSec,
+      "td_corpus_build_docs_per_sec" -> nDocs / cbSec,
+      "td_corpus_build_survivors" -> survivors.toDouble,
+      "td_corpus_build_steal_pct" -> cbSteal)
+  }
+
   def jaccardBench(spark: SparkSession, sfDir: String, threshold: Double = 0.8): Map[String, Double] = {
     import org.apache.spark.sql.functions.{count => fcount, sum}
     import spark.implicits._
