@@ -81,6 +81,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
+    "corpus_build_neardup" -> ((s, d) =>
+      CorpusPipeline.corpusBuildNearDup(documents(s, d))),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d))),
     "text_lm_bits" -> ((s, d) => TextAnalysis.unigramLogLoss(documents(s, d))),
     "text_scrub" -> ((s, d) => {
@@ -244,6 +246,54 @@ object SparkEntry {
   private def inList(v: String, ws: Seq[String]) =
     ws.map(w => s"$v = '$w'").mkString(" OR ")
 
+  /** corpus-build pipeline CTEs (mirror CorpusPipeline.corpusBuild):
+    * gates → exact-dedup keeper → decontamination → `base(doc_id,
+    * bucket)` = the exact-pipeline survivors. Shared by the
+    * corpus_build and corpus_build_neardup oracles. */
+  private val corpusBuildCtes = {
+    val bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100"
+    val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(tk, t -> ${inList("t", ws)}))::INT AS s_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$r")
+      val ge = if (rest.size == 1) s"s_$l >= ${rest.head}"
+               else s"s_$l >= greatest(${rest.mkString(", ")})"
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""t AS (
+          SELECT doc_id, text, $TOKS AS tk, $bucket AS bucket FROM documents),
+        scored AS (SELECT doc_id, text, tk, bucket, $scores FROM t),
+        filtered AS (
+          SELECT doc_id, text, tk, bucket FROM scored
+          WHERE bucket < 98 AND len(tk) >= 10
+            AND round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.5 +
+                  (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
+                   / len(tk)) * 0.5, 6) >= 0.3
+            AND (CASE $pred ELSE '${langs.last}' END) IN ('en', 'zh')),
+        bsh AS (
+          SELECT DISTINCT unnest(${shinglesSql(TOKS)}) AS s FROM documents
+          WHERE $bucket >= 98),
+        contam AS (
+          SELECT DISTINCT f.doc_id FROM
+            (SELECT doc_id, unnest(${shinglesSql("tk")}) AS s FROM filtered) f
+          JOIN bsh USING (s)),
+        kept AS (
+          SELECT doc_id, bucket,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM filtered),
+        base AS (
+          SELECT doc_id, bucket FROM kept
+          WHERE doc_id = keep_id
+            AND doc_id NOT IN (SELECT doc_id FROM contam))"""
+  }
+
+  private val splitCaseSql =
+    """CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split"""
+
   def oracleSql: Map[String, String] = Map(
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -378,47 +428,27 @@ object SparkEntry {
           FROM t JOIN b USING (s)
           GROUP BY 1"""
     },
-    "corpus_build" -> {
-      val bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100"
-      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        s"len(list_filter(tk, t -> ${inList("t", ws)}))::INT AS s_$lang"
-      }.mkString(", ")
-      val langs = TextAnalysis.langProfiles.map(_._1)
-      val pred = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(r => s"s_$r")
-        val ge = if (rest.size == 1) s"s_$l >= ${rest.head}"
-                 else s"s_$l >= greatest(${rest.mkString(", ")})"
-        s"WHEN $ge THEN '$l'"
-      }.mkString(" ")
-      s"""WITH t AS (
-            SELECT doc_id, text, $TOKS AS tk, $bucket AS bucket FROM documents),
-          scored AS (SELECT doc_id, text, tk, bucket, $scores FROM t),
-          filtered AS (
-            SELECT doc_id, text, tk, bucket FROM scored
-            WHERE bucket < 98 AND len(tk) >= 10
-              AND round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.5 +
-                    (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
-                     / len(tk)) * 0.5, 6) >= 0.3
-              AND (CASE $pred ELSE '${langs.last}' END) IN ('en', 'zh')),
-          bsh AS (
-            SELECT DISTINCT unnest(${shinglesSql(TOKS)}) AS s FROM documents
-            WHERE $bucket >= 98),
-          contam AS (
-            SELECT DISTINCT f.doc_id FROM
-              (SELECT doc_id, unnest(${shinglesSql("tk")}) AS s FROM filtered) f
-            JOIN bsh USING (s)),
-          kept AS (
-            SELECT doc_id, bucket,
-                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-            FROM filtered)
-          SELECT doc_id,
-                 CASE WHEN bucket < 90 THEN 'train'
-                      WHEN bucket < 95 THEN 'val'
-                      ELSE 'test' END AS split
-          FROM kept
-          WHERE doc_id = keep_id
-            AND doc_id NOT IN (SELECT doc_id FROM contam)"""
-    },
+    "corpus_build" ->
+      s"""WITH $corpusBuildCtes
+          SELECT doc_id, $splitCaseSql FROM base""",
+    "corpus_build_neardup" ->
+      s"""WITH RECURSIVE $corpusBuildCtes,
+          mp AS ($minhashPairsSql),
+          edges0 AS (
+            SELECT doc_a, doc_b FROM mp
+            WHERE doc_a IN (SELECT doc_id FROM base)
+              AND doc_b IN (SELECT doc_id FROM base)),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+                    UNION SELECT doc_b, doc_a FROM edges0),
+          reach(src, dst) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT r.src, e2.v FROM reach r JOIN edges e2 ON e2.u = r.dst),
+          comp AS (SELECT src AS doc_id, min(dst) AS component
+                   FROM reach GROUP BY src)
+          SELECT b.doc_id, $splitCaseSql
+          FROM base b LEFT JOIN comp c ON b.doc_id = c.doc_id
+          WHERE c.component IS NULL OR b.doc_id = c.component""",
     "dedup_jaccard_pairs" ->
       s"""WITH sh AS (
             SELECT doc_id, unnest(${shinglesSql(TOKS)}) AS s FROM documents),

@@ -110,4 +110,29 @@ object CorpusPipeline {
           .when(b < trainPct + valPct, "val")
           .otherwise("test").as("split"))
   }
+
+  /** corpusBuild plus NEAR-duplicate resolution: the exact-pipeline
+    * survivors additionally run through MinHash-LSH candidate pairs →
+    * connected components → one keeper per near-dup cluster. Signatures
+    * are per-doc, so computing pairs over the survivor subset equals
+    * computing them corpus-wide and restricting both endpoints (the
+    * DuckDB oracle does the latter; this does the former — only
+    * survivors pay the shingle+md5 cost). Adds the minhash band
+    * self-join (one reused exchange, TextDedup) and the
+    * component rounds (O(log diameter) shuffles over near-dup edges
+    * only) on top of corpusBuild's single corpus-sized exchange. */
+  def corpusBuildNearDup(documents: DataFrame, benchPct: Int = 2,
+      minTokens: Int = 10, minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en", "zh"),
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val base =
+      corpusBuild(documents, benchPct, minTokens, minQuality, langs, trainPct, valPct)
+    val survivorDocs =
+      documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = TextDedup.minhashCandidatePairs(survivorDocs)
+      .select("doc_a", "doc_b")
+    val resolved = DedupGraph.survivors(base.select("doc_id"), pairs)
+    base.join(resolved.filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
 }

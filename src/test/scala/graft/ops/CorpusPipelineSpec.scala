@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Decontamination + corpus-build pipeline, pinned against scalar
   * Scala oracles on planted fixtures (the DuckDB oracle covers the
@@ -103,6 +104,50 @@ class CorpusPipelineSpec extends SparkSpec {
       val want = if (b < 90) "train" else if (b < 95) "val" else "test"
       assert(split == want, s"doc $id bucket $b")
     }
+  }
+
+  test("corpusBuildNearDup resolves minhash clusters among the exact survivors") {
+    // reuse the corpusBuild fixture shape, plus a planted NEAR-dup pair
+    // (distinct texts, shared 12-word tail → LSH bands collide)
+    val bench0 = benchIds.head
+    def en(id: Long) = s"the a of and to w$id x$id y$id z$id q$id"
+    // 31 tokens (10 stopwords → quality 0.316 passes the 0.3 gate);
+    // the pair differs only in the final token → J = 27/29, so the
+    // 4×4 LSH banding collides (deterministic: md5-seeded hashes)
+    def near(v: String) =
+      "the a of and to the of a and to " +
+        (1 to 20).map(j => s"shr$j").mkString(" ") + s" $v"
+    val nearA = trainIds(6)
+    val nearB = trainIds(7)
+    val docs = ids.map { id =>
+      val text =
+        if (benchIds.contains(id)) s"held out probe x$bench0 y z"
+        else if (id == nearA) near("alpha")
+        else if (id == nearB) near("beta")
+        else en(id)
+      (id, text)
+    }.toDF("doc_id", "text")
+
+    val base = CorpusPipeline.corpusBuild(docs, benchPct = 2)
+      .as[(Long, String)].collect().toMap
+    val got = CorpusPipeline.corpusBuildNearDup(docs, benchPct = 2)
+      .as[(Long, String)].collect().toMap
+
+    // expected: base minus the non-keeper of every minhash component
+    // among base survivors (computed from the op's own pair output —
+    // pins the composition, not LSH recall)
+    val keep = docs.join(
+      base.keys.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = TextDedup.minhashCandidatePairs(keep)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val drop = pairs.flatMap(p => Seq(p._1, p._2)).toSet --
+      DedupGraph.survivors(keep.select("doc_id"),
+        TextDedup.minhashCandidatePairs(keep).select("doc_a", "doc_b"))
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(got == base.filterNot { case (id, _) => drop(id) })
+    // the planted near-dups DID band-collide and exactly one survived
+    assert(pairs.contains((nearA, nearB)))
+    assert(got.contains(nearA) && !got.contains(nearB))
   }
 
   test("vocabulary: top-k frequencies with deterministic tie-break") {
