@@ -313,14 +313,16 @@ class SimilarityDedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  // clusters of 4 near-identical docs so LSH bands collide
+  private def clusterDocs(ids: Seq[Long]) = ids.map { id =>
+    val cluster = (id - 1) / 4
+    val words = (0 until 12).map(w => s"c${cluster}w$w").updated(
+      (id % 4).toInt, s"var$id")
+    (id, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
   test("incrementalMinhashPairs ≡ cross-side slice of the full self-join") {
-    val docs = (1L to 40L).map { id =>
-      // clusters of 4 near-identical docs so LSH bands collide
-      val cluster = (id - 1) / 4
-      val words = (0 until 12).map(w => s"c${cluster}w$w").updated(
-        (id % 4).toInt, s"var$id")
-      (id, words.mkString(" "))
-    }.toDF("doc_id", "text")
+    val docs = clusterDocs(1L to 40L)
     val isNew = (id: Long) => id % 2 == 0
     val newDocs = docs.filter(col("doc_id") % 2 === 0)
     val oldDocs = docs.filter(col("doc_id") % 2 === 1)
@@ -338,6 +340,57 @@ class SimilarityDedupSpec extends SparkSpec {
     }.toMap
     assert(inc.nonEmpty)
     assert(inc == crossWant)
+  }
+
+  test("incremental minhash vs a BUCKETED band index: index side loses its Exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def walk(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val corpus = clusterDocs(1L to 80L)
+    // fresh doc_ids, texts duplicating corpus clusters 0-1 → pairs exist
+    val batch = clusterDocs(1L to 8L).withColumn("doc_id", col("doc_id") + 1000L)
+
+    val plainDir = tmpDir("bandidx_plain")
+    graft.ops.TextDedup.minhashBandRows(corpus).write.mode("overwrite").parquet(plainDir)
+    val mirror = new graft.tables.BucketedMirror(spark, tmpDir("bandidx"),
+      "band_idx_spec", buckets = 4, keys = Seq("band", "band_hash"),
+      schemaDdl = "doc_id BIGINT, band INT, band_hash STRING")
+    mirror.refresh(graft.ops.TextDedup.minhashBandRows(corpus), v = 1)
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // force the sort-merge path: this is the shape where the stored
+      // index's declared bucketing matters (a broadcast batch never
+      // shuffles the index side to begin with)
+      val viaPlain = graft.ops.TextDedup.incrementalMinhashPairs(
+        batch, spark.read.parquet(plainDir))
+      val viaBucketed = graft.ops.TextDedup.incrementalMinhashPairs(
+        batch, mirror.table())
+      val plainPairs = viaPlain.as[(Long, Long, Long)].collect().toSet
+      val bucketedPairs = viaBucketed.as[(Long, Long, Long)].collect().toSet
+      assert(plainPairs.nonEmpty && bucketedPairs == plainPairs)
+      // plain: batch signature agg + batch-side join exchange +
+      // index-side join exchange + final agg = 4; bucketed: the index
+      // side reads in place
+      val nPlain = shuffles(viaPlain)
+      val nBucketed = shuffles(viaBucketed)
+      assert(nPlain == 4, s"plain-path plan changed shape: $nPlain shuffles")
+      assert(nBucketed == nPlain - 1,
+        s"bucketed index still shuffles: $nBucketed vs plain $nPlain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
   }
 
   test("incrementalExactSurvivors: batch self-dedup plus corpus anti-join") {
