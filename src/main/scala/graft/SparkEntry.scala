@@ -276,9 +276,12 @@ object SparkEntry {
           SELECT DISTINCT unnest(${shinglesSql(TOKS)}) AS s FROM documents
           WHERE $bucket >= 98),
         contam AS (
-          SELECT DISTINCT f.doc_id FROM
-            (SELECT doc_id, unnest(${shinglesSql("tk")}) AS s FROM filtered) f
-          JOIN bsh USING (s)),
+          SELECT doc_id FROM (
+            SELECT f.doc_id, any_value(f.n_sh) AS n_sh, count(*) AS n_hits
+            FROM (SELECT doc_id, len(${shinglesSql("tk")}) AS n_sh,
+                         unnest(${shinglesSql("tk")}) AS s FROM filtered) f
+            JOIN bsh USING (s) GROUP BY f.doc_id)
+          WHERE n_hits >= n_sh * 0.5),
         kept AS (
           SELECT doc_id, bucket,
                  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id

@@ -66,6 +66,26 @@ object CorpusPipeline {
     contaminationHits(documents.filter(!isBenchmark(benchPct)),
       benchShingles(documents, benchPct), minHits)
 
+  /** RATIO-based contamination for the corpus build: a doc is flagged
+    * when ≥ `ratio` of its own distinct shingles appear in the
+    * benchmark. Absolute hit counts (contaminationHits) saturate on
+    * small-vocabulary corpora — with few distinct tokens every doc
+    * eventually shares SOME shingle with a large benchmark — while the
+    * near-copy question ("is most of this doc benchmark text?") is
+    * what eval-leakage actually means. Same broadcast-probe plan; the
+    * per-doc shingle count rides the explode as a constant column. */
+  def contaminationFlags(docs: DataFrame, benchSh: DataFrame,
+      ratio: Double): DataFrame =
+    docs
+      .select(col("doc_id"), TextDedup.shingles3(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("s"))
+      .join(broadcast(benchSh), "s")
+      .groupBy("doc_id")
+      .agg(max("n_sh").as("n_sh"), count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= col("n_sh") * lit(ratio))
+      .select("doc_id")
+
   /** The composed corpus build — the whole curation pipeline as ONE
     * declarative plan Catalyst optimizes end-to-end:
     *
@@ -73,10 +93,11 @@ object CorpusPipeline {
     *   2. quality gate: ≥ `minTokens` tokens AND quality ≥ `minQuality`;
     *   3. language gate: predicted language ∈ `langs`;
     *   4. exact dedup among survivors (first doc_id per md5(text) wins);
-    *   5. decontaminate survivors against the benchmark shingles —
-    *      applied AFTER dedup keeper selection, so a contaminated
-    *      keeper's duplicates stay dropped (they are still duplicates
-    *      of contaminated text);
+    *   5. decontaminate survivors against the benchmark shingles
+    *      (ratio rule: ≥ `contamRatio` of a doc's shingles in the
+    *      benchmark — see contaminationFlags) — applied AFTER dedup
+    *      keeper selection, so a contaminated keeper's duplicates stay
+    *      dropped (they are still duplicates of contaminated text);
     *   6. deterministic train/val/test split.
     *
     * Steps 1-3 are scan-side predicates on ONE pass over the table
@@ -89,7 +110,8 @@ object CorpusPipeline {
   def corpusBuild(documents: DataFrame, benchPct: Int = 2,
       minTokens: Int = 10, minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en", "zh"),
-      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+      trainPct: Int = 90, valPct: Int = 5,
+      contamRatio: Double = 0.5): DataFrame = {
     val toks = TextDedup.tokens(col("text"))
     val filtered = documents
       .filter(!isBenchmark(benchPct))
@@ -100,8 +122,8 @@ object CorpusPipeline {
       .withColumn("__keep",
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("__keep"))
-    val contaminated = contaminationHits(filtered,
-      benchShingles(documents, benchPct), minHits = 1).select("doc_id")
+    val contaminated = contaminationFlags(filtered,
+      benchShingles(documents, benchPct), contamRatio)
     val b = Sampling.hashBucket(col("doc_id"))
     deduped
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -124,9 +146,17 @@ object CorpusPipeline {
   def corpusBuildNearDup(documents: DataFrame, benchPct: Int = 2,
       minTokens: Int = 10, minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en", "zh"),
-      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+      trainPct: Int = 90, valPct: Int = 5,
+      contamRatio: Double = 0.5): DataFrame = {
+    // base feeds THREE consumers (survivor projection, component
+    // resolution, final semi-join); checkpoint it once so the whole
+    // gates→dedup→decontaminate subtree — the expensive pass over the
+    // corpus — doesn't run three times. Output is (doc_id, split) of
+    // survivors: small relative to the corpus, safe to materialize.
     val base =
-      corpusBuild(documents, benchPct, minTokens, minQuality, langs, trainPct, valPct)
+      corpusBuild(documents, benchPct, minTokens, minQuality, langs,
+          trainPct, valPct, contamRatio)
+        .localCheckpoint()
     val survivorDocs =
       documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
     val pairs = TextDedup.minhashCandidatePairs(survivorDocs)

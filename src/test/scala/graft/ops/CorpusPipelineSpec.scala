@@ -64,7 +64,10 @@ class CorpusPipelineSpec extends SparkSpec {
   test("corpusBuild applies gates, dedup, decontamination, and split in pipeline order") {
     assert(benchIds.nonEmpty)
     val bench0 = benchIds.head
-    val benchText = s"held out probe x$bench0 y z"
+    // bench text shares the stopword head so the RATIO rule is
+    // exercised: the planted pair overlaps 7/8 of its shingles (≥0.5,
+    // flagged) while ordinary en(id) docs overlap 3/8 (clean)
+    val benchText = s"the a of and to held out probe x$bench0 y"
     // quality-passing base: 10 tokens, 5 en stopwords → quality exactly 0.3
     def en(id: Long) = s"the a of and to w$id x$id y$id z$id q$id"
     val short = trainIds(0)              // fails minTokens
