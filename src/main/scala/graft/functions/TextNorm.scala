@@ -58,9 +58,10 @@ object TextNorm {
     * Deterministic CHAR-level subset of the standard simplification
     * table (~330 high-frequency characters, widened r4 from the
     * original 30-char co-designed set): each entry is one "TradSimp"
-    * pair. Char-level conversion cannot express langconv's phrase-level
-    * disambiguation (e.g. 多音/一简对多繁 context rules), so this stays
-    * partial-by-design (SURVEY.md §7.6); the synthetic fixture
+    * pair. A small PHRASE-override layer (zhHansPhrases, r4) supplies
+    * langconv's disambiguation mechanism for the one-to-many cases in
+    * the subset (multi-reading 乾 and 著); full phrase coverage stays
+    * partial-by-design (SURVEY.md §7.6) — the synthetic fixture
     * generator emits only characters from this domain, making the
     * conversion exact by construction on test inputs. */
   private val zhHansPairs: Seq[String] = Seq(
@@ -117,7 +118,7 @@ object TextNorm {
     "轄辖", "遲迟", "遜逊", "鄭郑", "釀酿", "錦锦", "鍋锅", "闆板", "陣阵", "陳陈",
     "雖虽", "頒颁", "頓顿", "飾饰", "駕驾", "魯鲁", "鹽盐", "於于",
     "勞劳", "勝胜", "勢势", "務务", "協协", "單单", "嚴严", "喬乔",
-    "喪丧", "噸吨", "壯壮", "嬰婴", "彙汇", "惱恼")
+    "喪丧", "噸吨", "壯壮", "嬰婴", "彙汇", "惱恼", "乾干", "著着")
 
   val zhHansTable: Map[Char, Char] = {
     val m = zhHansPairs.map { p =>
@@ -128,5 +129,28 @@ object TextNorm {
     m
   }
 
-  def zhHans(s: String): String = s.map(c => zhHansTable.getOrElse(c, c))
+  /** Phrase overrides — langconv's disambiguation layer for characters
+    * with reading-dependent simplification, restricted to the two
+    * multi-reading characters in the char subset: qián-reading 乾
+    * (乾隆/乾坤/乾卦) keeps its glyph where gān-reading 乾 → 干, and
+    * zhù-reading 著 (著作/著名/顯著/土著/著述/編著) keeps its glyph
+    * where zhe/zháo-reading 著 → 着. Longest match first. */
+  private val zhHansPhrases: Seq[(String, String)] = Seq(
+    "乾隆" -> "乾隆", "乾坤" -> "乾坤", "乾卦" -> "乾卦",
+    "著作" -> "著作", "著名" -> "著名", "顯著" -> "显著",
+    "土著" -> "土著", "著述" -> "著述", "編著" -> "编著"
+  ).sortBy(-_._1.length)
+
+  def zhHans(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      zhHansPhrases.find { case (t, _) => s.startsWith(t, i) } match {
+        case Some((t, h)) => sb.append(h); i += t.length
+        case None =>
+          sb.append(zhHansTable.getOrElse(s.charAt(i), s.charAt(i))); i += 1
+      }
+    }
+    sb.toString
+  }
 }

@@ -31,6 +31,12 @@ class FunctionsSpec extends AnyFunSuite {
     // many-to-one is legal: 發/髮 and 復/複 both simplify identically
     assert(zhHans("頭髮") == "头发" && zhHans("出發") == "出发")
     assert(zhHans("復興複雜") == "复兴复杂")
+    // phrase-override layer (r4): reading-dependent 乾 and 著 —
+    // qián/zhù readings keep their glyphs, gān/zhe readings simplify
+    assert(zhHans("乾隆皇帝") == "乾隆皇帝")
+    assert(zhHans("乾燥的乾坤") == "干燥的乾坤")
+    assert(zhHans("著名的著作與穿著") == "著名的著作与穿着")
+    assert(zhHans("顯著的土著編著") == "显著的土著编著")
   }
 
   test("quote/unquote round-trip like Python") {
