@@ -56,7 +56,7 @@ object TextNorm {
   /** Traditional→Simplified Chinese mapping (reference uses the
     * table-driven `langconv` Converter('zh-hans'), `zhwiki_leafs.py:144`).
     * Deterministic CHAR-level subset of the standard simplification
-    * table (~330 high-frequency characters, widened r4 from the
+    * table (~420 high-frequency characters, widened r4 twice from the
     * original 30-char co-designed set): each entry is one "TradSimp"
     * pair. A small PHRASE-override layer (zhHansPhrases, r4) supplies
     * langconv's disambiguation mechanism for the one-to-many cases in
@@ -118,7 +118,19 @@ object TextNorm {
     "轄辖", "遲迟", "遜逊", "鄭郑", "釀酿", "錦锦", "鍋锅", "闆板", "陣阵", "陳陈",
     "雖虽", "頒颁", "頓顿", "飾饰", "駕驾", "魯鲁", "鹽盐", "於于",
     "勞劳", "勝胜", "勢势", "務务", "協协", "單单", "嚴严", "喬乔",
-    "喪丧", "噸吨", "壯壮", "嬰婴", "彙汇", "惱恼", "乾干", "著着")
+    "喪丧", "噸吨", "壯壮", "嬰婴", "彙汇", "惱恼", "乾干", "著着",
+    // r4 second widening: further standard high-frequency pairs
+    "亞亚", "佔占", "倉仓", "偉伟", "傑杰", "凍冻", "劍剑", "烏乌",
+    "牽牵", "猶犹", "獎奖", "鹼碱", "鹹咸", "麵面", "齡龄", "龐庞",
+    "嶺岭", "彌弥", "徹彻", "慮虑", "懸悬", "掃扫", "揮挥", "擺摆",
+    "敗败", "漸渐", "爛烂", "獸兽", "盜盗", "礙碍", "籌筹", "繩绳",
+    "繡绣", "聰聪", "脹胀", "蓮莲", "蔣蒋", "蟬蝉", "蠻蛮", "襯衬",
+    "訴诉", "誠诚", "誼谊", "賠赔", "賢贤", "贈赠", "蹤踪", "輝辉",
+    "辭辞", "遼辽", "邁迈", "鄰邻", "釘钉", "鍛锻", "鏈链", "闖闯",
+    "隸隶", "韻韵", "頑顽", "顫颤", "飄飘", "馳驰", "鬆松", "鳳凤",
+    "鴨鸭", "鶴鹤", "歎叹", "滬沪", "漲涨", "濤涛", "曆历", "殲歼",
+    "滯滞", "灑洒", "檔档", "櫃柜", "燭烛", "爺爷", "獅狮", "瞞瞒",
+    "礦矿", "穌稣", "竄窜", "篩筛", "糾纠", "紳绅")
 
   val zhHansTable: Map[Char, Char] = {
     val m = zhHansPairs.map { p =>
