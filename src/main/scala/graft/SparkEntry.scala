@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_build_neardup" -> ((s, d) =>
       CorpusPipeline.corpusBuildNearDup(documents(s, d))),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d))),
+    "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(documents(s, d))),
     "text_lm_bits" -> ((s, d) => TextAnalysis.unigramLogLoss(documents(s, d))),
     "text_scrub" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, lit}
@@ -568,6 +569,37 @@ object SparkEntry {
           GROUP BY 1
           ORDER BY freq DESC, token ASC
           LIMIT 100""",
+    "corpus_stats" -> {
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> ${inList("t", ws)}))::INT AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val pred = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$r")
+        val ge = if (rest.size == 1) s"s_$l >= ${rest.head}"
+                 else s"s_$l >= greatest(${rest.mkString(", ")})"
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT $TOKS AS tk FROM documents),
+          scored AS (
+            SELECT tk, $scores,
+                   len(tk)::BIGINT AS n_tok,
+                   round(least(len(tk)::DOUBLE / 100.0, 1.0) * 0.5 +
+                     (len(list_filter(tk, t -> ${inList("t", stopwords)}))::DOUBLE
+                      / len(tk)) * 0.5, 6) AS q
+            FROM t),
+          p AS (SELECT CASE $pred ELSE '${langs.last}' END AS pred_lang,
+                       n_tok, q FROM scored)
+          SELECT pred_lang,
+                 count(*)::BIGINT AS n_docs,
+                 sum(n_tok)::BIGINT AS total_tokens,
+                 min(n_tok)::BIGINT AS min_tokens,
+                 max(n_tok)::BIGINT AS max_tokens,
+                 round(avg(q), 4) AS avg_quality,
+                 round(min(q), 4) AS min_quality,
+                 round(max(q), 4) AS max_quality
+          FROM p GROUP BY 1"""
+    },
     "text_lm_bits" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS token FROM documents),
           cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),

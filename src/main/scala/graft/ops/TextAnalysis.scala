@@ -143,6 +143,30 @@ object TextAnalysis {
         col("n"))), 4).as("bits_per_token"))
   }
 
+  /** Corpus report — the "data card" aggregate: per predicted
+    * language, document count, token totals, and quality distribution
+    * stats. One scan-side projection + one tiny groupBy (≤ #languages
+    * rows out), so the report costs one pass at any corpus size.
+    * Integer sums stay exact; the one floating aggregate (avg quality)
+    * is rounded to 4 like every cross-engine double here. */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(
+        bestLang(toks).getField("lang").as("pred_lang"),
+        size(toks).cast("long").as("n_tok"),
+        qualityScore(toks).as("q"))
+      .groupBy("pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        round(avg("q"), 4).as("avg_quality"),
+        round(min("q"), 4).as("min_quality"),
+        round(max("q"), 4).as("max_quality"))
+  }
+
   /** Token statistics: whitespace tokens, distinct tokens, and BPE-ish
     * subtokens (maximal lowercase-alpha runs — a portable regex). */
   def tokenStats(documents: DataFrame): DataFrame = {
