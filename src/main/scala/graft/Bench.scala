@@ -85,6 +85,20 @@ object Bench {
       s"${name}_tries" -> tries.toDouble)
   }
 
+  /** Fresh temp dir for a bench leg's synthetic inputs, deleted in a
+    * finally — the 10^8/10^9-doc legs would otherwise strand tens of GB
+    * of parquet in /tmp per probe run. */
+  private def withTempDir[A](prefix: String)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
+  }
+
   /** Accumulates executor shuffle bytes written across completed stages
     * — a STEAL-PROOF unit for comparing dedup paths (host throttling
     * stretches seconds but cannot change how many bytes a plan moves). */
@@ -108,13 +122,16 @@ object Bench {
     }
   }
 
-  def crawlBench(spark: SparkSession, nCats: Int, nHosts: Int): Map[String, Double] = {
+  def crawlBench(spark: SparkSession, nCats: Int, nHosts: Int): Map[String, Double] =
+    withTempDir("graftbench")(dir => crawlBenchIn(spark, nCats, nHosts, dir))
+
+  private def crawlBenchIn(
+      spark: SparkSession, nCats: Int, nHosts: Int, dir: String): Map[String, Double] = {
     val spec = WebSpec(
       nCats = nCats, nArticles = nCats * 2, nHosts = nHosts,
       branching = 4, articlesPerCat = 4, nSeeds = math.max(nHosts, 4),
       withBlocked = false)
     val store = new PageStore(spec)
-    val dir = java.nio.file.Files.createTempDirectory("graftbench").toString
     // saltFactor 16: the BFS web has only `nHosts` hosts, so the fetch
     // partition key space is nHosts × salt cells — 32×4=128 cells over
     // 32 partitions leaves a ~2× max/mean Poisson imbalance; 512 cells
@@ -222,9 +239,12 @@ object Bench {
     * candidate batch with ~50% true duplicates, and measures the
     * engine's actual dedup operator — the bloom-prefiltered exact
     * anti-join — against the plain exact anti-join. */
-  def dedupBench(spark: SparkSession, nSeen: Int, nCand: Int): Map[String, Double] = {
+  def dedupBench(spark: SparkSession, nSeen: Int, nCand: Int): Map[String, Double] =
+    withTempDir("graftdedup")(dir => dedupBenchIn(spark, nSeen, nCand, dir))
+
+  private def dedupBenchIn(
+      spark: SparkSession, nSeen: Int, nCand: Int, dir: String): Map[String, Double] = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString
     val url = (idCol: org.apache.spark.sql.Column) =>
       concat(lit("https://host"), pmod(idCol, lit(997)), lit(".graft.example/wiki/A"), idCol)
     spark.range(nSeen.toLong).select(url(col("id")).as("url"))
@@ -356,9 +376,12 @@ object Bench {
     *  3. corpus_build end-to-end (gates → window dedup → decontaminate
     *     → split) over the same corpus.
     */
-  def textDedupBench(spark: SparkSession, nDocs: Long): Map[String, Double] = {
+  def textDedupBench(spark: SparkSession, nDocs: Long): Map[String, Double] =
+    withTempDir("grafttd")(dir => textDedupBenchIn(spark, nDocs, dir))
+
+  private def textDedupBenchIn(
+      spark: SparkSession, nDocs: Long, dir: String): Map[String, Double] = {
     import org.apache.spark.sql.functions.concat_ws
-    val dir = java.nio.file.Files.createTempDirectory("grafttd").toString
     def docsOf(ids: org.apache.spark.sql.DataFrame,
         docId: org.apache.spark.sql.Column,
         cluster: org.apache.spark.sql.Column) = {

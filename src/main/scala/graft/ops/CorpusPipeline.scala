@@ -122,7 +122,13 @@ object CorpusPipeline {
       .withColumn("__keep",
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("__keep"))
-    val contaminated = contaminationFlags(filtered,
+    // probe KEEPERS only: the flags are consumed via a left_anti on
+    // `deduped`, so a flagged non-keeper can never change the output —
+    // probing `filtered` would pay the shingle explode + broadcast
+    // probe for every exact duplicate for no effect. Identical result
+    // (duplicates of a contaminated keeper are already dropped by the
+    // dedup step), dup-heavy corpora skip the redundant probes.
+    val contaminated = contaminationFlags(deduped,
       benchShingles(documents, benchPct), contamRatio)
     val b = Sampling.hashBucket(col("doc_id"))
     deduped
@@ -142,26 +148,33 @@ object CorpusPipeline {
     * survivors pay the shingle+md5 cost). Adds the minhash band
     * self-join (one reused exchange, TextDedup) and the
     * component rounds (O(log diameter) shuffles over near-dup edges
-    * only) on top of corpusBuild's single corpus-sized exchange. */
+    * only) on top of corpusBuild's single corpus-sized exchange.
+    * `reliable=true` swaps every lineage truncation (the base
+    * materialization here and the component rounds inside
+    * DedupGraph) from `localCheckpoint` to `checkpoint()` against the
+    * session's checkpoint dir — the cluster setting, where a lost
+    * executor must not invalidate truncated lineage. */
   def corpusBuildNearDup(documents: DataFrame, benchPct: Int = 2,
       minTokens: Int = 10, minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en", "zh"),
       trainPct: Int = 90, valPct: Int = 5,
-      contamRatio: Double = 0.5): DataFrame = {
+      contamRatio: Double = 0.5,
+      reliable: Boolean = false): DataFrame = {
     // base feeds THREE consumers (survivor projection, component
     // resolution, final semi-join); checkpoint it once so the whole
     // gates→dedup→decontaminate subtree — the expensive pass over the
     // corpus — doesn't run three times. Output is (doc_id, split) of
     // survivors: small relative to the corpus, safe to materialize.
-    val base =
+    val built =
       corpusBuild(documents, benchPct, minTokens, minQuality, langs,
           trainPct, valPct, contamRatio)
-        .localCheckpoint()
+    val base = if (reliable) built.checkpoint() else built.localCheckpoint()
     val survivorDocs =
       documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
     val pairs = TextDedup.minhashCandidatePairs(survivorDocs)
       .select("doc_a", "doc_b")
-    val resolved = DedupGraph.survivors(base.select("doc_id"), pairs)
+    val resolved =
+      DedupGraph.survivors(base.select("doc_id"), pairs, reliable = reliable)
     base.join(resolved.filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
   }

@@ -140,9 +140,13 @@ object DedupGraph {
     * minimum and for every unpaired doc). The join is left-outer on
     * doc_id — at scale the component map is orders of magnitude
     * smaller than the corpus (only near-dup members appear), so AQE
-    * turns it into a broadcast join. */
-  def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+    * turns it into a broadcast join. `reliable` flows to the component
+    * rounds' lineage truncation: true = `checkpoint()` against the
+    * session's checkpoint dir (durable storage on a cluster — survives
+    * executor loss), false = `localCheckpoint` (local[n] / ephemeral). */
+  def survivors(documents: DataFrame, pairs: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val comp = connectedComponents(pairs, reliable = reliable)
     documents.select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

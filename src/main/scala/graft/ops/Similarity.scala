@@ -339,13 +339,17 @@ object Similarity {
   /** Semantic dedup resolved to per-cluster representatives: connected
     * components over the semantic pair graph (same large-star/
     * small-star machinery as text dedup), `keep` = the cluster's min
-    * vec_id and every unpaired embedding. */
+    * vec_id and every unpaired embedding. `reliable=true` routes the
+    * component rounds' lineage truncation to the session checkpoint
+    * dir (durable on a cluster) instead of `localCheckpoint`. */
   def semanticSurvivors(embeddings: DataFrame, threshold: Double,
-      nCells: Int = 32, cellCap: Int = 4096): DataFrame =
+      nCells: Int = 32, cellCap: Int = 4096,
+      reliable: Boolean = false): DataFrame =
     DedupGraph.survivors(
       embeddings.select(col("vec_id").as("doc_id")),
       semanticPairs(embeddings, threshold, nCells, cellCap)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      reliable = reliable)
       .select(col("doc_id").as("vec_id"), col("component"), col("keep"))
 
   /** The IVF candidate join (scored, pre-top-k) — shared by the top-k

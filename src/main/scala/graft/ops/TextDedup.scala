@@ -97,15 +97,6 @@ object TextDedup {
         posexplode(array((0 until nSig).map(k => col(s"sig$k")): _*)))
       .select(col("doc_id"), col("pos").cast("int").as("k"), col("col").as("minhash"))
 
-  /** LSH banding over the minhash signatures: nSig sigs / rowsPerBand →
-    * band hash per (doc, band); candidate pairs = docs sharing a band.
-    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
-    *
-    * The signature vector is computed SCAN-SIDE as one array column
-    * (no explode → groupBy → collect_list round trip: the grouped
-    * re-assembly both shuffled the signature rows and was recomputed on
-    * each side of the self-join), then sliced into band hashes; the
-    * only shuffle left is the candidate join on (band, band_hash). */
   /** LSH band rows (doc_id, band, band_hash) — the signature INDEX.
     * Public because at scale this is what gets PERSISTED: the corpus's
     * band rows are written once (partitioned/bucketed on (band,
@@ -127,6 +118,15 @@ object TextDedup {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** LSH banding over the minhash signatures: nSig sigs / rowsPerBand →
+    * band hash per (doc, band); candidate pairs = docs sharing a band.
+    * Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    *
+    * The signature vector is computed SCAN-SIDE as one array column
+    * (no explode → groupBy → collect_list round trip: the grouped
+    * re-assembly both shuffled the signature rows and was recomputed on
+    * each side of the self-join), then sliced into band hashes; the
+    * only shuffle left is the candidate join on (band, band_hash). */
   def minhashCandidatePairs(
       documents: DataFrame,
       nSig: Int = 16,

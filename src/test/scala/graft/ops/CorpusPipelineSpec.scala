@@ -153,6 +153,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got.contains(nearA) && !got.contains(nearB))
   }
 
+  test("corpusBuildNearDup reliable=true truncates lineage via the checkpoint dir") {
+    // the cluster setting: every localCheckpoint (base materialization +
+    // component rounds) swaps to checkpoint() against durable storage
+    val ckpt = tmpDir("cb_reliable_ckpt")
+    val hadDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      def near(v: String) =
+        "the a of and to the of a and to " +
+          (1 to 20).map(j => s"shr$j").mkString(" ") + s" $v"
+      val docs = ids.map { id =>
+        val text =
+          if (benchIds.contains(id)) s"held out probe y z b$id"
+          else if (id == trainIds(6)) near("alpha")
+          else if (id == trainIds(7)) near("beta")
+          else s"the a of and to w$id x$id y$id z$id q$id"
+        (id, text)
+      }.toDF("doc_id", "text")
+      val unreliable = CorpusPipeline.corpusBuildNearDup(docs, benchPct = 2)
+        .as[(Long, String)].collect().toMap
+      val reliable = CorpusPipeline.corpusBuildNearDup(docs, benchPct = 2,
+          reliable = true)
+        .as[(Long, String)].collect().toMap
+      assert(reliable == unreliable)
+      // the checkpoint dir actually received RDD checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      val nFiles = try wrote.filter(java.nio.file.Files.isRegularFile(_)).count()
+                   finally wrote.close()
+      assert(nFiles > 0, "reliable=true never wrote to the checkpoint dir")
+    } finally hadDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("vocabulary: top-k frequencies with deterministic tie-break") {
     val docs = Seq(
       (1L, "b b b a a c"),
