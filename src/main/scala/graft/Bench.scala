@@ -509,18 +509,43 @@ object Bench {
     // projection, so this measures join volume only)
     val mtCand = Similarity.lshMultiTableCandidates(e, q).count().toDouble
     val ivfCand = Similarity.ivfCandidates(e, q).count().toDouble
+    // fitted-pivot IVF (the shipping quantizer): same corpus, k-means
+    // pivots instead of the oracle-pinned first-N rows
+    val pivots = Similarity.fitIvfPivots(e, nCells = 32)
+    val fitCand = Similarity.ivfCandidatesWith(pivots, e, q).count().toDouble
     val out = Map(
       s"ann_lsh_recall_at_$k" -> recall(Similarity.lshTopK(e, q, k)),
       s"ann_multiprobe_recall_at_$k" -> recall(Similarity.lshTopKMultiProbe(e, q, k)),
       s"ann_multitable_recall_at_$k" -> recall(Similarity.lshTopKMultiTable(e, q, k)),
       s"ann_ivf_recall_at_$k" -> recall(Similarity.ivfTopK(e, q, k)),
+      s"ann_ivf_fitted_recall_at_$k" -> recall(Similarity.ivfTopKWith(pivots, e, q, k)),
       "ann_lsh_candidate_frac" -> lshCand / (nQueries * (n - 1)),
       "ann_multiprobe_candidate_frac" -> mpCand / (nQueries * (n - 1)),
       "ann_multitable_candidate_frac" -> mtCand / (nQueries * (n - 1)),
       "ann_ivf_candidate_frac" -> ivfCand / (nQueries * (n - 1)),
+      "ann_ivf_fitted_candidate_frac" -> fitCand / (nQueries * (n - 1)),
       "ann_recall_queries" -> nQueries.toDouble)
     brute.unpersist()
     out
+  }
+
+  /** Cell-occupancy histogram of a cell assignment (collected counts
+    * are ≤ nCells rows — metadata). Keys: `<prefix>_cells_occupied,
+    * _cell_min, _cell_p50, _cell_p95, _cell_max, _cell_max_over_mean`. */
+  private def occupancyStats(prefix: String,
+      cells: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+    val sizes = cells.groupBy("cell").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    val tot = sizes.sum.toDouble
+    def pct(p: Double): Double =
+      sizes(math.min(sizes.length - 1, (p * sizes.length).toInt)).toDouble
+    Map(
+      s"${prefix}_cells_occupied" -> sizes.length.toDouble,
+      s"${prefix}_cell_min" -> sizes.head.toDouble,
+      s"${prefix}_cell_p50" -> pct(0.50),
+      s"${prefix}_cell_p95" -> pct(0.95),
+      s"${prefix}_cell_max" -> sizes.last.toDouble,
+      s"${prefix}_cell_max_over_mean" -> sizes.last / (tot / sizes.length))
   }
 
   /** ANN recall in the DESIGN regime: real embedding corpora are
@@ -555,15 +580,75 @@ object Bench {
         Seq("query_id", "vec_id"), "left_semi").count() / denom
     val mtCand = Similarity.lshMultiTableCandidates(e, q).count().toDouble
     val ivfCand = Similarity.ivfCandidates(e, q, nCells = nClusters).count().toDouble
+    // the fitted quantizer in its design regime: k-means pivots track
+    // the real cluster structure, so cells come out BALANCED (the
+    // occupancy histogram is the point — first-N pivots on the same
+    // corpus land several pivots in one cluster and zero in others)
+    val pivots = Similarity.fitIvfPivots(e, nCells = nClusters)
+    val fitCand = Similarity.ivfCandidatesWith(pivots, e, q).count().toDouble
     val out = Map(
       s"ann_clustered_multitable_recall_at_$k" ->
         recall(Similarity.lshTopKMultiTable(e, q, k)),
       s"ann_clustered_ivf_recall_at_$k" ->
         recall(Similarity.ivfTopK(e, q, k, nCells = nClusters)),
+      s"ann_clustered_ivf_fitted_recall_at_$k" ->
+        recall(Similarity.ivfTopKWith(pivots, e, q, k)),
       "ann_clustered_multitable_candidate_frac" -> mtCand / (nQueries.toDouble * (n - 1)),
       "ann_clustered_ivf_candidate_frac" -> ivfCand / (nQueries.toDouble * (n - 1)),
+      "ann_clustered_ivf_fitted_candidate_frac" -> fitCand / (nQueries.toDouble * (n - 1)),
       "ann_clustered_rows" -> n.toDouble,
-      "ann_clustered_clusters" -> nClusters.toDouble)
+      "ann_clustered_clusters" -> nClusters.toDouble) ++
+      occupancyStats("ann_clustered_ivf_fitted",
+        graft.ops.Similarity.assignCellsWith(e, pivots)) ++
+      occupancyStats("ann_clustered_ivf_firstn",
+        graft.ops.Similarity.assignIvfCells(e, nClusters))
+    brute.unpersist()
+    e.unpersist()
+    out ++ skewedPivotBench(spark, n, nClusters, k, nQueries)
+  }
+
+  /** The first-N pivot failure mode, measured: same clustered corpus
+    * but with CONTIGUOUS cluster blocks (cluster = id / blockLen), so
+    * the nClusters lowest vec_ids — the first-N pivot set — all sit in
+    * cluster 0. First-N quantization then collapses (every row lands in
+    * a near-identical pivot's cell chosen by noise; a query's probe
+    * cells carry no signal), while the FITTED pivots come from a
+    * hash-ordered sample that sees every cluster and stay balanced.
+    * The id→cluster layout is metadata the quantizer cannot see, so a
+    * robust quantizer must not depend on it — this section is the
+    * in-artifact evidence fitIvfPivots closes that hole (recall AND
+    * max/mean occupancy side by side). Queries: one per cluster block. */
+  private def skewedPivotBench(spark: SparkSession, n: Int, nClusters: Int,
+      k: Int, nQueries: Int): Map[String, Double] = {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.{sequence, sin, transform}
+    val dims = 64
+    val blockLen = n / nClusters
+    val e = spark.range(n.toLong)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          (sin((col("id") / blockLen).cast("long") * lit(101) + i * lit(13)) +
+            lit(0.05) * sin(col("id") * lit(31) + i * lit(7))).cast("float"))
+          .as("embedding"))
+      .persist()
+    e.count()
+    val q = e.filter(pmod(col("vec_id"), lit(n / nQueries)) === 0)
+    val brute = Similarity.bruteForceTopK(e, q, k)
+      .select("query_id", "vec_id").persist()
+    val denom = brute.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      brute.join(ann.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_semi").count() / denom
+    val pivots = Similarity.fitIvfPivots(e, nCells = nClusters)
+    val out = Map(
+      s"ann_skewpivot_ivf_firstn_recall_at_$k" ->
+        recall(Similarity.ivfTopK(e, q, k, nCells = nClusters)),
+      s"ann_skewpivot_ivf_fitted_recall_at_$k" ->
+        recall(Similarity.ivfTopKWith(pivots, e, q, k))) ++
+      occupancyStats("ann_skewpivot_ivf_firstn",
+        Similarity.assignIvfCells(e, nClusters)) ++
+      occupancyStats("ann_skewpivot_ivf_fitted",
+        Similarity.assignCellsWith(e, pivots))
     brute.unpersist()
     e.unpersist()
     out

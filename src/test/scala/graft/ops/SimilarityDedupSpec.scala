@@ -161,6 +161,44 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recallIvf >= 0.8, s"IVF recall on clustered data: $recallIvf")
   }
 
+  test("fitted IVF pivots: deterministic, balanced cells, high recall, decoupled quantizer") {
+    // same clustered regime as the planted-neighbor test: k-means with
+    // k = nClusters should place one pivot per true cluster
+    val nClusters = 8
+    val rows = (0L until 256L).map { id =>
+      val c = (id % nClusters).toInt
+      val vec = Array.tabulate(64)(i =>
+        (math.sin(c * 101 + i * 13) + 0.05 * math.sin(id * 31 + i * 7)).toFloat)
+      (id, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val p1 = Similarity.fitIvfPivots(emb, nCells = nClusters, sampleN = 256)
+    val p2 = Similarity.fitIvfPivots(emb, nCells = nClusters, sampleN = 256)
+    assert(p1 == p2, "fitIvfPivots is not deterministic across runs")
+    // balance: the first-N mode's weakness is exactly the unbalanced
+    // cell — fitted pivots on 8 equal clusters must split 256 rows into
+    // 8 equal cells
+    val occ = Similarity.assignCellsWith(emb, p1)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ.size == nClusters, s"expected $nClusters occupied cells: $occ")
+    assert(occ.values.max == 256L / nClusters, s"unbalanced cells: $occ")
+    // recall at MINIMAL probe width: one pivot per cluster means
+    // nProbe=1 already contains every true neighbor
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = resultPairs(Similarity.bruteForceTopK(emb, queries, 5)).toSet
+    val fitted = resultPairs(
+      Similarity.ivfTopKWith(p1, emb, queries, 5, nProbe = 1)).toSet
+    val recall = (fitted & brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"fitted-pivot recall at nProbe=1: $recall")
+    // decoupled quantizer: ivfTopKWith on the explicit first-N pivot
+    // set ≡ ivfTopK's internal first-N mode (the oracle-pinned path)
+    val firstN = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    assert(resultPairs(Similarity.ivfTopKWith(firstN, emb, queries, 5)) ==
+      resultPairs(Similarity.ivfTopK(emb, queries, 5, nCells = 16)))
+  }
+
   test("IVF cells as storage partition keys: probe reads only probed partitions") {
     // the 100-TB layout claim made concrete: write the corpus
     // partitioned by its IVF cell, probe one query's cells, and the
