@@ -37,6 +37,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(zhHans("乾燥的乾坤") == "干燥的乾坤")
     assert(zhHans("著名的著作與穿著") == "著名的著作与穿着")
     assert(zhHans("顯著的土著編著") == "显著的土著编著")
+    // r5 phrase widening: compounds previously left to the bare char map
+    assert(zhHans("名著與原著的著者") == "名著与原著的著者")
+    assert(zhHans("乾嘉學派") == "乾嘉学派")
+    assert(zhHans("專著論著著錄") == "专著论著著录")
+  }
+
+  test("zhHans full-table properties: size, idempotence, round-trip safety") {
+    // the full public one-char mapping (ICU CLDR via ZhTableGen)
+    assert(zhHansTable.size >= 2500, s"table shrank: ${zhHansTable.size}")
+    // idempotence by construction: every image is a fixpoint of the
+    // char map, so converting twice changes nothing — over the WHOLE
+    // domain, not a sample
+    zhHansTable.foreach { case (t, s) =>
+      assert(zhHansTable.getOrElse(s, s) == s,
+        s"image '$s' of '$t' is not a fixpoint")
+    }
+    // round-trip safety: a fully simplified string survives zhHans
+    val allSimplified = zhHansTable.values.mkString
+    assert(zhHans(allSimplified) == allSimplified)
+    // idempotence through the PHRASE layer too (the layer can emit
+    // preserved-glyph chars like 乾/著 — re-running must not simplify
+    // them out of phrase context... unless the phrase survives, which
+    // startsWith re-matching guarantees)
+    val phraseText = "乾隆乾坤著名著作名著原著乾嘉著者著錄乾燥穿著"
+    assert(zhHans(zhHans(phraseText)) == zhHans(phraseText))
+  }
+
+  test("zhHans idempotence over random strings from the table alphabet") {
+    val alphabet: IndexedSeq[Char] =
+      (zhHansTable.keys ++ zhHansTable.values ++ "乾著隆坤名作的與ab ".toSeq).toIndexedSeq
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val once = zhHans(s)
+      assert(zhHans(once) == once, s"not idempotent on '$s' -> '$once'")
+      assert(once.length == s.length, s"length changed on '$s'")
+    }
   }
 
   test("quote/unquote round-trip like Python") {
