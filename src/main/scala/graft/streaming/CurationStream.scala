@@ -20,10 +20,14 @@ import graft.tables.IceLite
   * batch-id check short-circuits BEFORE any read: a replayed batch
   * never re-dedups against a snapshot that already contains it.
   *
-  * At 100 TB the corpus side of the dedup is the table's persisted
-  * hash index probed through the sharded-bloom prefilter
-  * (BloomShardStore) exactly like the frontier seen set — the batch
-  * side stays micro-batch-sized either way.
+  * THE SIMPLE BASELINE: `curateBatch` re-reads the whole curated table
+  * every micro-batch — O(corpus) corpus-side work per batch, fine for
+  * small tables and as the semantic oracle, wrong at scale. The
+  * production path is [[CuratedCorpus]]: the same gates + exactly-once
+  * recipe, but cross-batch dedup probes persisted hash/band indexes
+  * through sharded blooms and partition-pruned mirrors
+  * ([[graft.tables.ProbedKeyIndex]]) — O(batch) corpus-side work per
+  * batch, plus cross-batch NEAR-dup dedup this baseline doesn't do.
   */
 object CurationStream {
 
