@@ -379,6 +379,87 @@ object Bench {
   def textDedupBench(spark: SparkSession, nDocs: Long): Map[String, Double] =
     withTempDir("grafttd")(dir => textDedupBenchIn(spark, nDocs, dir))
 
+  /** NEAR-dup corpus-build scale probe (StageProbe mode `cnd`): the
+    * full corpusBuildNearDup pipeline — gates → exact dedup →
+    * decontaminate → split → LSH pairs → connected components → one
+    * keeper per cluster — at ladder scale, with its in-artifact
+    * correctness anchors: survivor fraction (stable across rungs ⇒ the
+    * pipeline composes scale-invariantly), component-round count (the
+    * O(log n) convergence evidence), and the decontamination
+    * PROBE-ROW comparison (keepers-only vs pre-dedup — the r5 fix that
+    * skips redundant shingle probes on dup-heavy corpora).
+    *
+    * Synthetic corpus: clusters of 4 near-dup docs (shared 11-word
+    * tail, per-PAIR variant word) where each cluster's docs form 2
+    * exact-dup pairs — so exact dedup halves the corpus and near-dup
+    * resolution halves the survivors again (expected survivor fraction
+    * ≈ 25% of gated docs, minus decontamination/benchmark slices). */
+  def corpusNearDupBench(spark: SparkSession, nDocs: Long): Map[String, Double] =
+    withTempDir("graftcnd")(dir => corpusNearDupBenchIn(spark, nDocs, dir))
+
+  private def corpusNearDupBenchIn(
+      spark: SparkSession, nDocs: Long, dir: String): Map[String, Double] = {
+    import org.apache.spark.sql.functions.concat_ws
+    val stop = Seq("the", "a", "of", "and", "to")
+    // cluster of 4 = ids [4k, 4k+3]; exact-dup pairs via var(id - id%2)
+    val cluster = (col("id") / 4).cast("long")
+    val words = (1 to 11).flatMap { j =>
+      val cw = concat(lit("c"), cluster, lit(s"w$j"))
+      if (j <= stop.length) Seq(lit(stop(j - 1)), cw) else Seq(cw)
+    } :+ concat(lit("var"), (col("id") - pmod(col("id"), lit(2))).cast("long"))
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      .repartition(32).write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+
+    val ((survivors), sec, steal, _, _) = timedWithSteal {
+      graft.ops.CorpusPipeline.corpusBuildNearDup(docs, minQuality = 0.2).count()
+    }
+    // stage decomposition for the round count (re-runs the pair +
+    // component stages only — base is checkpointed once)
+    val base = graft.ops.CorpusPipeline.corpusBuild(docs, minQuality = 0.2)
+      .localCheckpoint()
+    val survivorDocs = docs.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = graft.ops.TextDedup.minhashCandidatePairs(survivorDocs)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val nPairs = pairs.count()
+    val (labels, rounds) =
+      graft.ops.DedupGraph.connectedComponentsWithRounds(pairs)
+    val nComponents = labels.select("component").distinct().count()
+    // decontamination probe volume: shingle rows entering the broadcast
+    // probe from KEEPERS (the r5 probe side) vs PRE-DEDUP (the r4 side)
+    val toks = graft.ops.TextDedup.tokens(col("text"))
+    val filtered = docs
+      .filter(!graft.ops.CorpusPipeline.isBenchmark(2))
+      .filter(org.apache.spark.sql.functions.size(toks) >= 10)
+      .filter(graft.ops.TextAnalysis.qualityScore(toks) >= 0.2)
+      .filter(graft.ops.TextAnalysis.bestLang(toks).getField("lang")
+        .isin("en", "zh"))
+    val deduped = filtered
+      .withColumn("__keep", org.apache.spark.sql.functions.min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          org.apache.spark.sql.functions.md5(col("text")))))
+      .filter(col("doc_id") === col("__keep"))
+    def probeRows(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(explode(graft.ops.TextDedup.shingles3(col("text"))).as("s"))
+      .count()
+    val probeKeepers = probeRows(deduped)
+    val probePreDedup = probeRows(filtered)
+    Map(
+      "cnd_docs" -> nDocs.toDouble,
+      "cnd_sec" -> sec,
+      "cnd_docs_per_sec" -> nDocs / sec,
+      "cnd_steal_pct" -> steal,
+      "cnd_survivors" -> survivors.toDouble,
+      "cnd_survivor_frac" -> survivors.toDouble / nDocs,
+      "cnd_lsh_pairs" -> nPairs.toDouble,
+      "cnd_components" -> nComponents.toDouble,
+      "cnd_cc_rounds" -> rounds.toDouble,
+      "cnd_decontam_probe_rows_keepers" -> probeKeepers.toDouble,
+      "cnd_decontam_probe_rows_prededup" -> probePreDedup.toDouble,
+      "cnd_decontam_probe_row_ratio" -> probePreDedup.toDouble / math.max(1L, probeKeepers))
+  }
+
   private def textDedupBenchIn(
       spark: SparkSession, nDocs: Long, dir: String): Map[String, Double] = {
     import org.apache.spark.sql.functions.concat_ws

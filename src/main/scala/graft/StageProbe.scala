@@ -28,6 +28,10 @@ object StageProbe {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val m = Bench.textDedupBench(spark, nDocs)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "cnd") {
+      val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
+      val m = Bench.corpusNearDupBench(spark, nDocs)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "ccplan") {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val edges = spark.range(1000000L)
