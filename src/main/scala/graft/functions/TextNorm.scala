@@ -63,34 +63,43 @@ object TextNorm {
     * [[graft.tools.ZhTableGen]] into the committed resource
     * `graft/zh_hant2hans.tsv`. Every image is a fixpoint (enforced at
     * generation), so char-level conversion is idempotent by
-    * construction; the ~170 CLDR pairs whose simplified form lives
-    * outside the BMP are dropped (those rare traditional chars pass
-    * through unchanged — the table is Map[Char, Char] for the per-char
-    * hot loop). The PHRASE-override layer below supplies langconv's
+    * construction. The hot loop stays Map[Char, Char]; the ~170 CLDR
+    * pairs whose simplified form lives outside the BMP (e.g. 㠣→𫵷)
+    * route through the small secondary [[zhHansWideTable]]
+    * (Map[Char, String] — keys are all BMP by range construction). The PHRASE-override layer below supplies langconv's
     * disambiguation mechanism for reading-dependent characters
     * (multi-reading 乾/著); phrase coverage beyond those high-frequency
     * compounds stays partial-by-design (SURVEY.md §7.6) — langconv's
     * full phrase dictionaries are thousands of entries whose effect on
     * the reference's extraction output the co-designed generator
     * grammar does not exercise. */
-  val zhHansTable: Map[Char, Char] = {
+  private val zhHansTables: (Map[Char, Char], Map[Char, String]) = {
     val in = getClass.getResourceAsStream("/graft/zh_hant2hans.tsv")
     require(in != null, "missing resource graft/zh_hant2hans.tsv")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
-      val m = src.getLines()
+      val pairs = src.getLines()
         .filterNot(l => l.startsWith("#") || l.isEmpty)
         .map { l =>
           val kv = l.split("\t")
-          require(kv.length == 2 && kv(0).length == 1 && kv(1).length == 1,
+          require(kv.length == 2 && kv(0).length == 1 &&
+            kv(1).codePointCount(0, kv(1).length) == 1,
             s"bad zh_hant2hans line: '$l'")
-          kv(0).charAt(0) -> kv(1).charAt(0)
+          kv(0).charAt(0) -> kv(1)
         }
-        .toMap
+        .toSeq
+      val (narrow, wide) = pairs.partition(_._2.length == 1)
+      val m = narrow.map { case (k, v) => k -> v.charAt(0) }.toMap
       require(m.size >= 2500, s"zh_hant2hans table too small: ${m.size}")
-      m
+      (m, wide.toMap)
     } finally src.close()
   }
+
+  val zhHansTable: Map[Char, Char] = zhHansTables._1
+
+  /** The supplementary-plane-valued tail of the CLDR mapping (BMP key →
+    * surrogate-pair string). */
+  val zhHansWideTable: Map[Char, String] = zhHansTables._2
 
   /** Phrase overrides — langconv's disambiguation layer for characters
     * with reading-dependent simplification: qián-reading 乾
@@ -127,7 +136,15 @@ object TextNorm {
       zhHansPhrases.find { case (t, _) => s.startsWith(t, i) } match {
         case Some((t, h)) => sb.append(h); i += t.length
         case None =>
-          sb.append(zhHansTable.getOrElse(s.charAt(i), s.charAt(i))); i += 1
+          val c = s.charAt(i)
+          zhHansTable.get(c) match {
+            case Some(sc) => sb.append(sc)
+            case None => zhHansWideTable.get(c) match {
+              case Some(w) => sb.append(w)
+              case None => sb.append(c)
+            }
+          }
+          i += 1
       }
     }
     sb.toString

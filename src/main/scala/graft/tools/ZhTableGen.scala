@@ -30,11 +30,10 @@ object ZhTableGen {
       cp <- r
       s = new String(Character.toChars(cp))
       conv = t.transliterate(s)
-      // one BMP char out: the runtime table is Map[Char, Char] (a
-      // per-char hot loop); the handful of CLDR pairs whose simplified
-      // form lives in the supplementary planes (e.g. 㠣→𫵷) are dropped
-      // and those rare traditional chars pass through unchanged
-      if conv != s && conv.length == 1 &&
+      // one code point out (keys are all BMP by range construction;
+      // values may be supplementary-plane chars like 㠣→𫵷 — TextNorm
+      // routes those through a small secondary Map[Char, String])
+      if conv != s && conv.codePointCount(0, conv.length) == 1 &&
         // image must be a FIXPOINT so the char table is idempotent by
         // construction (drops CLDR's one 2-cycle variant pair 苧↔苎)
         t.transliterate(conv) == conv

@@ -56,6 +56,12 @@ class FunctionsSpec extends AnyFunSuite {
     // round-trip safety: a fully simplified string survives zhHans
     val allSimplified = zhHansTable.values.mkString
     assert(zhHans(allSimplified) == allSimplified)
+    // the supplementary-plane tail: keys convert, images are fixpoints
+    assert(zhHansWideTable.nonEmpty)
+    zhHansWideTable.foreach { case (t, w) =>
+      assert(zhHans(t.toString) == w)
+      assert(zhHans(w) == w, s"wide image '$w' of '$t' re-converts")
+    }
     // idempotence through the PHRASE layer too (the layer can emit
     // preserved-glyph chars like 乾/著 — re-running must not simplify
     // them out of phrase context... unless the phrase survives, which
