@@ -379,6 +379,140 @@ object Bench {
   def textDedupBench(spark: SparkSession, nDocs: Long): Map[String, Double] =
     withTempDir("grafttd")(dir => textDedupBenchIn(spark, nDocs, dir))
 
+  /** INDEX-BACKED streaming-curation scale probe (StageProbe mode
+    * `curation`): ingest `nBatches` micro-batches into a
+    * [[graft.streaming.CuratedCorpus]] and pin the O(batch) claim with
+    * MEASURED per-batch cost — wall seconds AND corpus-side scanned
+    * bytes (the executed probe stats ProbedKeyIndex returns) — for
+    * EARLY batches vs LATE batches, while the curated table grows
+    * `nBatches`×. If per-batch cost is O(batch), the late/early ratios
+    * sit near 1; under the rescan baseline they grow with the corpus.
+    * The contrast leg (`withBaseline`) runs the SAME batches through
+    * `CurationStream.curateBatch` — the O(corpus)-rescan semantic
+    * baseline (exact dedup only, no near-dup: strictly LESS work per
+    * batch than the indexed path, so any growth it shows is pure
+    * rescan cost, not extra features).
+    *
+    * Batch shape (deterministic): batch b = doc_ids [b·S, (b+1)·S);
+    * role = id % 10 → role 0 = EXACT dup of a unique doc one batch
+    * back, role 1 = NEAR dup (same 11-word tail, different variant
+    * word) of a unique doc one batch back, other roles unique. Every
+    * batch after the first thus carries exactly 10% cross-batch exact
+    * dups (the in-artifact anchor: exact drops must equal
+    * (nBatches−1)·S/10) and 10% cross-batch near dups — the indexes do
+    * real probe work every batch. */
+  def curationBench(spark: SparkSession, nDocs: Long, nBatches: Int,
+      withBaseline: Boolean): Map[String, Double] =
+    withTempDir("graftcur")(dir =>
+      curationBenchIn(spark, nDocs, nBatches, withBaseline, dir))
+
+  private def curationBenchIn(spark: SparkSession, nDocs: Long, nBatches: Int,
+      withBaseline: Boolean, dir: String): Map[String, Double] = {
+    import org.apache.spark.sql.functions.concat_ws
+    // batch size: multiple of 10 so role = id % 10 is batch-aligned
+    val s = math.max(10L, nDocs / nBatches / 10 * 10)
+    val total = s * nBatches
+    val role = pmod(col("id"), lit(10))
+    val inLater = col("id") >= s
+    val isExact = inLater && (role === 0)
+    val isNear = inLater && (role === 1)
+    // dup targets land on role 5 (unique) one batch back: s % 10 == 0
+    val exactTgt = col("id") - s + 5
+    val nearTgt = col("id") - s + 4
+    val cluster = when(isExact, exactTgt).when(isNear, nearTgt).otherwise(col("id"))
+    val varId = when(isExact, exactTgt).otherwise(col("id"))
+    val stop = Seq("the", "a", "of", "and", "to")
+    val words = (1 to 11).flatMap { j =>
+      val cw = concat(lit("c"), cluster.cast("long"), lit(s"w$j"))
+      if (j <= stop.length) Seq(lit(stop(j - 1)), cw) else Seq(cw)
+    } :+ concat(lit("var"), varId.cast("long"))
+    spark.range(total)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"),
+        (col("id") / s).cast("int").as("batch"))
+      .repartition(32).write.partitionBy("batch").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    def batchOf(b: Int) = docs.filter(col("batch") === b).select("doc_id", "text")
+
+    // refresh threshold sized so ~3-4 compactions happen across the
+    // run (delta grows ~45 B/doc band-side): compaction is the
+    // amortized LSM rewrite, measured separately from probe cost below
+    val cc = new graft.streaming.CuratedCorpus(spark, s"$dir/cur",
+      minTokens = 3, minQuality = 0.0,
+      refreshDeltaBytes = math.max(1L << 20, total * 12))
+    val secs = new Array[Double](nBatches)
+    val bytes = new Array[Double](nBatches)
+    val refreshedAt = new Array[Boolean](nBatches)
+    var exactDropped = 0L
+    var nearDropped = 0L
+    var appended = 0L
+    val t0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      val bt0 = System.nanoTime()
+      val r = cc.curateBatch(batchOf(b), b.toLong)
+      secs(b) = (System.nanoTime() - bt0) / 1e9
+      bytes(b) = (r.hashStats.mirrorBytesScanned + r.hashStats.deltaBytesScanned +
+        r.bandStats.mirrorBytesScanned + r.bandStats.deltaBytesScanned).toDouble
+      refreshedAt(b) = r.refreshed
+      exactDropped += r.exactDropped
+      nearDropped += r.nearDupDropped
+      appended += r.appendedRows
+    }
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val refreshes = refreshedAt.count(identity)
+    // early/late PROBE cost excludes compaction batches (amortized
+    // rewrite, reported separately) and batch 0 (JVM warm-up + empty
+    // indexes): flat late/early = the O(batch) evidence
+    def mean(a: Seq[Double]): Double = if (a.isEmpty) 0.0 else a.sum / a.size
+    val probeIdx = (1 until nBatches).filterNot(refreshedAt)
+    val earlyIdx = probeIdx.take(3)
+    val lateIdx = probeIdx.takeRight(3)
+    val earlySec = mean(earlyIdx.map(secs))
+    val lateSec = mean(lateIdx.map(secs))
+    val earlyBytes = mean(earlyIdx.map(bytes))
+    val lateBytes = mean(lateIdx.map(bytes))
+    val refreshSec = mean((0 until nBatches).filter(refreshedAt).map(secs))
+
+    val baseline: Map[String, Double] =
+      if (!withBaseline) Map.empty
+      else {
+        val table = new graft.tables.IceLite(spark, s"$dir/base")
+        val bsecs = new Array[Double](nBatches)
+        val bt = System.nanoTime()
+        (0 until nBatches).foreach { b =>
+          val t = System.nanoTime()
+          graft.streaming.CurationStream.curateBatch(
+            table, batchOf(b), b.toLong, minTokens = 3, minQuality = 0.0)
+          bsecs(b) = (System.nanoTime() - t) / 1e9
+        }
+        Map(
+          "cur_baseline_sec" -> (System.nanoTime() - bt) / 1e9,
+          "cur_baseline_early_batch_sec" -> mean(bsecs.slice(1, 4)),
+          "cur_baseline_late_batch_sec" -> mean(bsecs.takeRight(3)),
+          "cur_baseline_late_over_early_sec" ->
+            mean(bsecs.takeRight(3)) / math.max(1e-9, mean(bsecs.slice(1, 4))))
+      }
+    Map(
+      "cur_docs" -> total.toDouble,
+      "cur_batches" -> nBatches.toDouble,
+      "cur_batch_docs" -> s.toDouble,
+      "cur_ingest_sec" -> ingestSec,
+      "cur_docs_per_sec" -> total / ingestSec,
+      "cur_appended" -> appended.toDouble,
+      "cur_exact_dropped" -> exactDropped.toDouble,
+      "cur_exact_dropped_expected" -> ((nBatches - 1).toLong * s / 10).toDouble,
+      "cur_neardup_dropped" -> nearDropped.toDouble,
+      "cur_refreshes" -> refreshes.toDouble,
+      "cur_refresh_batch_sec" -> refreshSec,
+      "cur_early_batch_sec" -> earlySec,
+      "cur_late_batch_sec" -> lateSec,
+      "cur_late_over_early_sec" -> lateSec / math.max(1e-9, earlySec),
+      "cur_early_batch_scanned_mb" -> earlyBytes / 1e6,
+      "cur_late_batch_scanned_mb" -> lateBytes / 1e6,
+      "cur_late_over_early_scanned" ->
+        (if (earlyBytes > 0) lateBytes / earlyBytes else -1.0)
+    ) ++ baseline
+  }
+
   /** NEAR-dup corpus-build scale probe (StageProbe mode `cnd`): the
     * full corpusBuildNearDup pipeline — gates → exact dedup →
     * decontaminate → split → LSH pairs → connected components → one

@@ -32,6 +32,12 @@ object StageProbe {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val m = Bench.corpusNearDupBench(spark, nDocs)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "curation") {
+      val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
+      val nBatches = args.lift(4).map(_.toInt).getOrElse(20)
+      val withBaseline = args.lift(5).forall(_ == "baseline")
+      val m = Bench.curationBench(spark, nDocs, nBatches, withBaseline)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "ccplan") {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val edges = spark.range(1000000L)
