@@ -402,21 +402,34 @@ object Bench {
     * (nBatches−1)·S/10) and 10% cross-batch near dups — the indexes do
     * real probe work every batch. */
   def curationBench(spark: SparkSession, nDocs: Long, nBatches: Int,
-      withBaseline: Boolean): Map[String, Double] =
+      withBaseline: Boolean, dupPeriod: Int = 10,
+      targetPartKb: Long = 0): Map[String, Double] =
     withTempDir("graftcur")(dir =>
-      curationBenchIn(spark, nDocs, nBatches, withBaseline, dir))
+      curationBenchIn(spark, nDocs, nBatches, withBaseline, dupPeriod,
+        targetPartKb, dir))
 
+  /** `dupPeriod` sets the planted duplicate density (one exact + one
+    * near dup per `dupPeriod` docs — 10 = the saturated regime where
+    * every bucket holds a candidate, 1000+ = the sparse regime where
+    * partition pruning shows). `targetPartKb` > 0 turns on adaptive
+    * index re-bucketing (ProbedKeyIndex.targetPartitionBytes): mirror
+    * partitions stay ≈ that size as the corpus grows, so sparse-regime
+    * probe bytes stay under the candidateKeys × partition-size ceiling
+    * instead of growing with the corpus. */
   private def curationBenchIn(spark: SparkSession, nDocs: Long, nBatches: Int,
-      withBaseline: Boolean, dir: String): Map[String, Double] = {
+      withBaseline: Boolean, dupPeriod: Int, targetPartKb: Long,
+      dir: String): Map[String, Double] = {
     import org.apache.spark.sql.functions.concat_ws
-    // batch size: multiple of 10 so role = id % 10 is batch-aligned
-    val s = math.max(10L, nDocs / nBatches / 10 * 10)
+    // batch size: multiple of dupPeriod so role = id % dupPeriod is
+    // batch-aligned (dup targets land exactly one batch back)
+    val p = dupPeriod.toLong
+    val s = math.max(p, nDocs / nBatches / p * p)
     val total = s * nBatches
-    val role = pmod(col("id"), lit(10))
+    val role = pmod(col("id"), lit(dupPeriod))
     val inLater = col("id") >= s
     val isExact = inLater && (role === 0)
     val isNear = inLater && (role === 1)
-    // dup targets land on role 5 (unique) one batch back: s % 10 == 0
+    // dup targets land on roles 5/4 (unique) one batch back: s % p == 0
     val exactTgt = col("id") - s + 5
     val nearTgt = col("id") - s + 4
     val cluster = when(isExact, exactTgt).when(isNear, nearTgt).otherwise(col("id"))
@@ -433,14 +446,22 @@ object Bench {
     val docs = spark.read.parquet(s"$dir/docs")
     def batchOf(b: Int) = docs.filter(col("batch") === b).select("doc_id", "text")
 
-    // refresh threshold sized so ~3-4 compactions happen across the
-    // run (delta grows ~45 B/doc band-side): compaction is the
-    // amortized LSM rewrite, measured separately from probe cost below
+    // refresh threshold ≈ 3 batches of appended index delta (~80 B/doc
+    // across hash + band rows), so compactions recur but most batches
+    // are pure probes: compaction is the amortized LSM rewrite,
+    // measured separately from probe cost below
     val cc = new graft.streaming.CuratedCorpus(spark, s"$dir/cur",
       minTokens = 3, minQuality = 0.0,
-      refreshDeltaBytes = math.max(1L << 20, total * 12))
+      refreshDeltaBytes = math.max(1L << 20, s * 240),
+      targetIndexPartitionBytes = targetPartKb * 1024,
+      // sparse regime: FP candidates must not relight every bucket
+      indexFpp = if (targetPartKb > 0) 1e-5 else 0.001)
     val secs = new Array[Double](nBatches)
     val bytes = new Array[Double](nBatches)
+    val mirrorScanned = new Array[Double](nBatches)
+    val mirrorTotals = new Array[Double](nBatches)
+    val candKeys = new Array[Double](nBatches)
+    val genBuckets = new Array[Double](nBatches)
     val refreshedAt = new Array[Boolean](nBatches)
     var exactDropped = 0L
     var nearDropped = 0L
@@ -452,6 +473,10 @@ object Bench {
       secs(b) = (System.nanoTime() - bt0) / 1e9
       bytes(b) = (r.hashStats.mirrorBytesScanned + r.hashStats.deltaBytesScanned +
         r.bandStats.mirrorBytesScanned + r.bandStats.deltaBytesScanned).toDouble
+      mirrorScanned(b) = (r.hashStats.mirrorBytesScanned + r.bandStats.mirrorBytesScanned).toDouble
+      mirrorTotals(b) = (r.hashStats.mirrorBytesTotal + r.bandStats.mirrorBytesTotal).toDouble
+      candKeys(b) = (r.hashStats.candidateRows + r.bandStats.candidateRows).toDouble
+      genBuckets(b) = math.max(r.hashStats.generationBuckets, r.bandStats.generationBuckets).toDouble
       refreshedAt(b) = r.refreshed
       exactDropped += r.exactDropped
       nearDropped += r.nearDupDropped
@@ -491,15 +516,33 @@ object Bench {
           "cur_baseline_late_over_early_sec" ->
             mean(bsecs.takeRight(3)) / math.max(1e-9, mean(bsecs.slice(1, 4))))
       }
+    val lateMirrorTotal = mean(lateIdx.map(mirrorTotals))
+    val lateCand = mean(lateIdx.map(candKeys))
+    // the O(batch) ceiling: candidate keys × fixed partition bytes
+    val obound =
+      if (targetPartKb > 0) Map(
+        "cur_late_obatch_bound_mb" -> lateCand * targetPartKb * 1024 / 1e6,
+        "cur_late_buckets" -> mean(lateIdx.map(genBuckets)),
+        "cur_early_buckets" -> mean(earlyIdx.map(genBuckets)))
+      else Map.empty[String, Double]
     Map(
       "cur_docs" -> total.toDouble,
       "cur_batches" -> nBatches.toDouble,
       "cur_batch_docs" -> s.toDouble,
+      "cur_dup_period" -> dupPeriod.toDouble,
+      "cur_late_cand_keys" -> lateCand,
+      "cur_late_mirror_total_mb" -> lateMirrorTotal / 1e6,
+      "cur_late_mirror_scanned_mb" -> mean(lateIdx.map(mirrorScanned)) / 1e6,
+      "cur_late_delta_scanned_mb" ->
+        (mean(lateIdx.map(bytes)) - mean(lateIdx.map(mirrorScanned))) / 1e6,
+      "cur_late_scanned_frac" ->
+        (if (lateMirrorTotal > 0) mean(lateIdx.map(mirrorScanned)) / lateMirrorTotal
+         else -1.0),
       "cur_ingest_sec" -> ingestSec,
       "cur_docs_per_sec" -> total / ingestSec,
       "cur_appended" -> appended.toDouble,
       "cur_exact_dropped" -> exactDropped.toDouble,
-      "cur_exact_dropped_expected" -> ((nBatches - 1).toLong * s / 10).toDouble,
+      "cur_exact_dropped_expected" -> ((nBatches - 1).toLong * s / p).toDouble,
       "cur_neardup_dropped" -> nearDropped.toDouble,
       "cur_refreshes" -> refreshes.toDouble,
       "cur_refresh_batch_sec" -> refreshSec,
@@ -510,7 +553,7 @@ object Bench {
       "cur_late_batch_scanned_mb" -> lateBytes / 1e6,
       "cur_late_over_early_scanned" ->
         (if (earlyBytes > 0) lateBytes / earlyBytes else -1.0)
-    ) ++ baseline
+    ) ++ obound ++ baseline
   }
 
   /** NEAR-dup corpus-build scale probe (StageProbe mode `cnd`): the

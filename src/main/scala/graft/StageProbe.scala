@@ -36,7 +36,10 @@ object StageProbe {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val nBatches = args.lift(4).map(_.toInt).getOrElse(20)
       val withBaseline = args.lift(5).forall(_ == "baseline")
-      val m = Bench.curationBench(spark, nDocs, nBatches, withBaseline)
+      val dupPeriod = args.lift(6).map(_.toInt).getOrElse(10)
+      val targetPartKb = args.lift(7).map(_.toLong).getOrElse(0L)
+      val m = Bench.curationBench(spark, nDocs, nBatches, withBaseline,
+        dupPeriod, targetPartKb)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "ccplan") {
       import org.apache.spark.sql.functions.{col, lit, pmod}

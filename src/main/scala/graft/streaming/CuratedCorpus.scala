@@ -46,12 +46,16 @@ final class CuratedCorpus(
     nSig: Int = 16,
     rowsPerBand: Int = 4,
     refreshDeltaBytes: Long = 64L << 20,
-    buckets: Int = 32
+    buckets: Int = 32,
+    targetIndexPartitionBytes: Long = 0,
+    indexFpp: Double = 0.001
 ) {
 
   val table = new IceLite(spark, s"$dir/table")
-  val hashIdx = new ProbedKeyIndex(spark, s"$dir/hash_idx", Seq("text_hash"), buckets)
-  val bandIdx = new ProbedKeyIndex(spark, s"$dir/band_idx", Seq("band", "band_hash"), buckets)
+  val hashIdx = new ProbedKeyIndex(spark, s"$dir/hash_idx", Seq("text_hash"),
+    buckets, targetIndexPartitionBytes, indexFpp)
+  val bandIdx = new ProbedKeyIndex(spark, s"$dir/band_idx", Seq("band", "band_hash"),
+    buckets, targetIndexPartitionBytes, indexFpp)
 
   private val IndexedBatchProp = "indexed.batch"
   private val StreamTag = "stream batch="

@@ -62,6 +62,17 @@ final class BloomShardStore(
 
   private def genDir(v: Int): Path = root.resolve(s"gen-v$v")
 
+  /** Bucket count generation `g` was sharded with. Each refresh may
+    * re-bucket (the caller passes `bucketsForGen` sized to the corpus —
+    * the LSM analogue of growing the level fan-out as the store grows),
+    * so the routing modulus is a per-generation fact recorded in the
+    * generation dir; absent (pre-re-bucketing layouts) it equals the
+    * constructor's fixed `buckets`. */
+  def bucketsAt(g: Int): Int = {
+    val f = genDir(g).resolve("BUCKETS")
+    if (Files.exists(f)) Files.readString(f).trim.toInt else buckets
+  }
+
   /** Distributed shard build from `df` (the key projection of an
     * IceLite table at version `v`). Each of the `buckets` tasks builds
     * one BloomFilter over its bucket's keys and writes it straight to
@@ -71,13 +82,14 @@ final class BloomShardStore(
     * bucketBy, so shard residency co-locates with the bucketed mirror.
     * Returns the number of keys indexed. */
   def refresh(df: DataFrame, v: Int, expectedItemsPerShard: Long,
-      fpp: Double = 0.01): Long = {
+      fpp: Double = 0.01, bucketsForGen: Int = buckets): Long = {
     val out = genDir(v)
     Files.createDirectories(out)
+    Files.writeString(out.resolve("BUCKETS"), bucketsForGen.toString)
     val (dirStr, exp, f, knd, ex) =
       (out.toString, math.max(1024L, expectedItemsPerShard), fpp, kind, ext)
     val keyed = df
-      .repartition(buckets, keys.map(col): _*)
+      .repartition(bucketsForGen, keys.map(col): _*)
       .select(concat_ws(BloomShardStore.KeySep, keys.map(col): _*).as("k"))
     val counts = keyed.queryExecution.toRdd.mapPartitions { it =>
       val bf = BloomShardStore.newFilter(knd, exp, f)
@@ -111,6 +123,8 @@ final class BloomShardStore(
       fpp: Double = 0.01): Long = {
     val out = genDir(v)
     Files.createDirectories(out)
+    // routing here is fixed by the mirror files' own bucket ids
+    Files.writeString(out.resolve("BUCKETS"), buckets.toString)
     val (dirStr, exp, f, knd, ex) =
       (out.toString, math.max(1024L, expectedItemsPerShard), fpp, kind, ext)
     val byBucket: Map[Int, Seq[String]] = files.groupBy(BloomShardStore.bucketIdOf)
@@ -162,7 +176,7 @@ final class BloomShardStore(
     val ex = ext
     val probe = udf((b: Int, k: String) =>
       BloomShardStore.shardFor(genDirStr, b, ex).mightContain(k))
-    probe(pmod(hash(keyCols: _*), lit(buckets)),
+    probe(pmod(hash(keyCols: _*), lit(bucketsAt(g))),
       concat_ws(BloomShardStore.KeySep, keyCols: _*))
   }
 

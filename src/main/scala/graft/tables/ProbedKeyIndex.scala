@@ -41,7 +41,9 @@ final class ProbedKeyIndex(
     spark: SparkSession,
     dir: String,
     keys: Seq[String],
-    buckets: Int = 32
+    buckets: Int = 32,
+    targetPartitionBytes: Long = 0,
+    fpp: Double = 0.001
 ) {
 
   val table = new IceLite(spark, s"$dir/idx")
@@ -50,11 +52,16 @@ final class ProbedKeyIndex(
   Files.createDirectories(mirrorRoot)
 
   private def keyCols: Seq[Column] = keys.map(col)
-  private def bucketCol: Column = pmod(hash(keyCols: _*), lit(buckets))
+  private def bucketColFor(nBuckets: Int): Column =
+    pmod(hash(keyCols: _*), lit(nBuckets))
 
   /** IceLite version the mirror+shards cover (0 = never refreshed:
     * everything is delta). */
   def generation: Int = shards.generation
+
+  /** Bucket count generation `g` routes by — grows across refreshes
+    * when `targetPartitionBytes` > 0 (see [[refresh]]). */
+  def bucketsAt(g: Int): Int = if (g > 0) shards.bucketsAt(g) else buckets
 
   private def mirrorDir(g: Int): String = s"$mirrorRoot/gen-v$g"
 
@@ -80,17 +87,35 @@ final class ProbedKeyIndex(
     * amortized compaction step. One file per occupied bucket partition
     * (`repartition(bucket)` before `partitionBy`), then the shard
     * build commits the generation pointer last, so a crash mid-refresh
-    * leaves the previous generation fully consistent. */
-  def refresh(fpp: Double = 0.001): Int = {
+    * leaves the previous generation fully consistent.
+    *
+    * When `targetPartitionBytes` > 0 each refresh RE-BUCKETS: the new
+    * generation's bucket count is sized so a mirror partition stays ≈
+    * `targetPartitionBytes` no matter how large the index has grown —
+    * the LSM analogue of growing fan-out with the store. That is what
+    * makes the probe's partition-pruned scan O(batch) rather than
+    * O(corpus/constant): a probe reads ≤ candidateKeys partitions of
+    * ~fixed bytes each (+ the bounded delta), a ceiling independent of
+    * corpus size. Routing is per-generation (recorded next to the
+    * shards), so probes against an old generation and the re-bucketed
+    * one never mix moduli. */
+  def refresh(fpp: Double = this.fpp): Int = {
     val v = table.currentVersion
     if (v == 0 || v == generation) return generation
+    val keyBytes = table.filesAt(v).map(f => Files.size(Paths.get(f))).sum
+    val nb =
+      if (targetPartitionBytes > 0)
+        math.min(1 << 18,
+          math.max(buckets, (keyBytes / targetPartitionBytes).toInt)).toInt
+      else buckets
     val snap = table.readAt(v).select(keyCols: _*)
     val out = mirrorDir(v)
-    snap.withColumn("bucket", bucketCol)
+    snap.withColumn("bucket", bucketColFor(nb))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(out)
     val rows = spark.read.parquet(out).count()
-    shards.refresh(snap, v, expectedItemsPerShard = math.max(1024L, rows / buckets), fpp = fpp)
+    shards.refresh(snap, v, expectedItemsPerShard = math.max(1024L, rows / nb),
+      fpp = fpp, bucketsForGen = nb)
     // superseded mirror generations are dead once the pointer moved
     scala.util.Using.resource(Files.list(mirrorRoot)) { s =>
       val b = Seq.newBuilder[Path]
@@ -120,14 +145,23 @@ final class ProbedKeyIndex(
     * (FileSourceScan numFiles/filesSize metrics), not from intent. */
   def hits(rows: DataFrame): (DataFrame, LookupStats) = {
     val g = generation
+    val genBuckets = bucketsAt(g)
     val candidates =
       if (g > 0) rows.select(keyCols: _*).filter(shards.probeCol(keyCols))
       else rows.select(keyCols: _*).limit(0)
     val candBuckets: Seq[Int] =
-      if (g > 0) candidates.select(bucketCol.as("b")).distinct()
+      if (g > 0) candidates.select(bucketColFor(genBuckets).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       else Seq.empty
     val nCand = if (g > 0) candidates.count() else 0L
+    val mirrorBytesTotal: Long =
+      if (g > 0)
+        scala.util.Using.resource(Files.walk(Paths.get(mirrorDir(g)))) { w =>
+          var n = 0L
+          w.forEach(p => if (p.toString.endsWith(".parquet")) n += Files.size(p))
+          n
+        }
+      else 0L
     val (mirrorSide, mirrorTotal, mirrorScanned, mirrorBytes) =
       if (g > 0 && candBuckets.nonEmpty) {
         val m = spark.read.parquet(mirrorDir(g))
@@ -168,14 +202,20 @@ final class ProbedKeyIndex(
     val corpusSide = mirrorSide.unionAll(deltaSide)
     val out = rows.join(corpusSide, keys, "left_semi")
     (out, LookupStats(nCand, candBuckets.size, mirrorTotal, mirrorScanned,
-      mirrorBytes, dFiles.size, dFiles.map(f => Files.size(Paths.get(f))).sum))
+      mirrorBytes, dFiles.size, dFiles.map(f => Files.size(Paths.get(f))).sum,
+      mirrorBytesTotal, genBuckets))
   }
 }
 
 object ProbedKeyIndex {
-  /** Probe stats — the O(batch) evidence, recorded per lookup. */
+  /** Probe stats — the O(batch) evidence, recorded per lookup.
+    * `mirrorBytesTotal`/`generationBuckets` give the denominator: the
+    * scanned fraction falls as re-bucketing spreads a growing mirror
+    * over more partitions while the probe still reads only candidate
+    * buckets. */
   final case class LookupStats(
       candidateRows: Long, candidateBuckets: Int,
       mirrorFilesTotal: Int, mirrorFilesScanned: Long, mirrorBytesScanned: Long,
-      deltaFilesScanned: Int, deltaBytesScanned: Long)
+      deltaFilesScanned: Int, deltaBytesScanned: Long,
+      mirrorBytesTotal: Long = 0L, generationBuckets: Int = 0)
 }
