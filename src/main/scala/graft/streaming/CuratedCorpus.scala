@@ -58,6 +58,7 @@ final class CuratedCorpus(
     buckets, targetIndexPartitionBytes, indexFpp)
 
   private val IndexedBatchProp = "indexed.batch"
+  private val IndexedVersionProp = "indexed.version"
   private val StreamTag = "stream batch="
 
   import ProbedKeyIndex.LookupStats
@@ -85,7 +86,13 @@ final class CuratedCorpus(
   /** Catch the indexes up to the curated table (crash between the
     * table commit and an index commit): re-derive key rows from the
     * table versions whose stream tag exceeds the index's
-    * `indexed.batch`. No-op on the healthy path. */
+    * `indexed.batch`. No-op on the healthy path — and O(1) on it: the
+    * walk starts at the index's `indexed.version` (the table version
+    * its last append covered, carried forward in the snapshot props),
+    * not at version 1, so per-batch driver metadata work stays
+    * O(new versions), never O(all versions ever committed) — at 10^4
+    * micro-batches a from-the-start walk would be quadratic in the
+    * stream's lifetime. */
   def reconcile(): Unit = {
     val tableBatch = IceLiteSink.lastCommittedBatch(table)
     if (tableBatch < 0) return
@@ -94,7 +101,9 @@ final class CuratedCorpus(
     ).foreach { case (idx, derive) =>
       val have = indexedBatch(idx)
       if (have < tableBatch) {
-        (1 to table.currentVersion).foreach { v =>
+        val fromV = idx.currentProps.get(IndexedVersionProp)
+          .map(_.toInt).getOrElse(0)
+        ((fromV + 1) to table.currentVersion).foreach { v =>
           val lin = table.lineageAt(v)
           if (lin.startsWith(StreamTag)) {
             val b = lin.stripPrefix(StreamTag).toLong
@@ -102,7 +111,9 @@ final class CuratedCorpus(
               val fresh = table.filesAt(v).toSet -- table.filesAt(v - 1).toSet
               if (fresh.nonEmpty) {
                 idx.append(derive(spark.read.parquet(fresh.toSeq: _*)),
-                  s"reconcile batch=$b", Map(IndexedBatchProp -> b.toString))
+                  s"reconcile batch=$b",
+                  Map(IndexedBatchProp -> b.toString,
+                    IndexedVersionProp -> v.toString))
                 ()
               }
             }
@@ -163,10 +174,11 @@ final class CuratedCorpus(
       val nNear = exactSurvivors.count() - survivors.count()
       val appended = IceLiteSink.appendBatch(table, survivors, batchId)
       if (appended) {
-        hashIdx.append(hashRowsOf(survivors), s"index batch=$batchId",
-          Map(IndexedBatchProp -> batchId.toString))
-        bandIdx.append(bandRowsOf(survivors), s"index batch=$batchId",
-          Map(IndexedBatchProp -> batchId.toString))
+        val tableV = table.currentVersion
+        val idxProps = Map(IndexedBatchProp -> batchId.toString,
+          IndexedVersionProp -> tableV.toString)
+        hashIdx.append(hashRowsOf(survivors), s"index batch=$batchId", idxProps)
+        bandIdx.append(bandRowsOf(survivors), s"index batch=$batchId", idxProps)
       }
       val refreshed =
         hashIdx.maybeRefresh(refreshDeltaBytes) | bandIdx.maybeRefresh(refreshDeltaBytes)
