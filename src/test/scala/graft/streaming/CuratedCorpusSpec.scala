@@ -163,6 +163,29 @@ class CuratedCorpusSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 7L))
   }
 
+  test("reconcile resumes from indexed.version instead of re-walking every table version") {
+    val cc = new CuratedCorpus(spark, tmpDir("curated_verprop"), minTokens = 3)
+    // healthy batch: both index appends must record the table version
+    // they covered — that's where the next reconcile walk starts
+    assert(cc.curateBatch(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), 0L).appended)
+    val v0 = cc.table.currentVersion
+    assert(cc.hashIdx.currentProps("indexed.version").toInt == v0)
+    assert(cc.bandIdx.currentProps("indexed.version").toInt == v0)
+    // crash window: a table version the indexes never saw
+    assert(IceLiteSink.appendBatch(cc.table,
+      Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text"), 1L))
+    val orphanV = cc.table.currentVersion
+    cc.reconcile()
+    // healing advances the resume point to the orphaned version
+    assert(cc.hashIdx.currentProps("indexed.version").toInt == orphanV)
+    assert(cc.hashIdx.currentProps("indexed.batch").toLong == 1L)
+    // next healthy batch moves it to the new table frontier, so the
+    // steady-state walk range ((frontier+1) to frontier) is empty
+    assert(cc.curateBatch(Seq((3L, "eta theta iota")).toDF("doc_id", "text"), 2L).appended)
+    assert(cc.hashIdx.currentProps("indexed.version").toInt == cc.table.currentVersion)
+    assert(cc.bandIdx.currentProps("indexed.version").toInt == cc.table.currentVersion)
+  }
+
   test("indexed curation ≡ the rescan baseline on exact dedup (same gates)") {
     // same batch sequence through both paths; near-dup off (distinct
     // families) so the comparison isolates the exact+gate semantics
