@@ -129,22 +129,43 @@ object TextNorm {
     if (h == t) Seq(t -> h) else Seq(t -> h, h -> h)
   }.sortBy(-_._1.length)
 
+  /** Phrases indexed by first char — the per-char phrase probe is then
+    * one map hit (usually a miss) instead of a linear startsWith scan
+    * over every phrase; groupBy preserves the longest-first order
+    * within each head group. */
+  private val zhHansPhrasesByHead: Map[Char, Seq[(String, String)]] =
+    zhHansPhrases.groupBy(_._1.charAt(0))
+
+  /** Smallest char that can possibly convert (phrase head, narrow key,
+    * or wide key) — anything below it (all of ASCII/Latin/punct) copies
+    * through with a single comparison. */
+  private val zhMinKey: Char =
+    (zhHansPhrasesByHead.keysIterator ++ zhHansTable.keysIterator ++
+      zhHansWideTable.keysIterator).min
+
   def zhHans(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      zhHansPhrases.find { case (t, _) => s.startsWith(t, i) } match {
-        case Some((t, h)) => sb.append(h); i += t.length
-        case None =>
-          val c = s.charAt(i)
-          zhHansTable.get(c) match {
-            case Some(sc) => sb.append(sc)
-            case None => zhHansWideTable.get(c) match {
-              case Some(w) => sb.append(w)
-              case None => sb.append(c)
+      val c = s.charAt(i)
+      if (c < zhMinKey) { sb.append(c); i += 1 }
+      else {
+        val phrase = zhHansPhrasesByHead.get(c) match {
+          case Some(ps) => ps.find { case (t, _) => s.startsWith(t, i) }
+          case None => None
+        }
+        phrase match {
+          case Some((t, h)) => sb.append(h); i += t.length
+          case None =>
+            zhHansTable.get(c) match {
+              case Some(sc) => sb.append(sc)
+              case None => zhHansWideTable.get(c) match {
+                case Some(w) => sb.append(w)
+                case None => sb.append(c)
+              }
             }
-          }
-          i += 1
+            i += 1
+        }
       }
     }
     sb.toString

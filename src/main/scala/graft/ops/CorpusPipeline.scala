@@ -111,7 +111,8 @@ object CorpusPipeline {
       minTokens: Int = 10, minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en", "zh"),
       trainPct: Int = 90, valPct: Int = 5,
-      contamRatio: Double = 0.5): DataFrame = {
+      contamRatio: Double = 0.5,
+      probeKeepersOnly: Boolean = false): DataFrame = {
     val toks = TextDedup.tokens(col("text"))
     val filtered = documents
       .filter(!isBenchmark(benchPct))
@@ -122,13 +123,23 @@ object CorpusPipeline {
       .withColumn("__keep",
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("__keep"))
-    // probe KEEPERS only: the flags are consumed via a left_anti on
-    // `deduped`, so a flagged non-keeper can never change the output —
-    // probing `filtered` would pay the shingle explode + broadcast
-    // probe for every exact duplicate for no effect. Identical result
-    // (duplicates of a contaminated keeper are already dropped by the
-    // dedup step), dup-heavy corpora skip the redundant probes.
-    val contaminated = contaminationFlags(deduped,
+    // The probe side is a semantics-free choice: flags are consumed via
+    // a left_anti on `deduped`, and every duplicate shares its keeper's
+    // text (hence its flag), so probing `filtered` or `deduped` yields
+    // the identical output. The COST differs, both ways:
+    //   - probing `filtered` keeps the probe branch scan-side (gates
+    //     collapse into the parquet read; no dependency on the dedup
+    //     exchange) but pays the shingle explode + broadcast probe once
+    //     per duplicate;
+    //   - probing `deduped` skips duplicate probes but re-traverses the
+    //     corpus-sized dedup window in the probe branch (the exchange
+    //     is reused, the sort + window + explode are not) — measured
+    //     +81% corpus_build wall at sf0.1's ~8% dup rate.
+    // Scan-side is the right default; flip `probeKeepersOnly` for
+    // dup-heavy corpora (≳50% dups) where duplicate probe work
+    // dominates a second window pass.
+    val probeSide = if (probeKeepersOnly) deduped else filtered
+    val contaminated = contaminationFlags(probeSide,
       benchShingles(documents, benchPct), contamRatio)
     val b = Sampling.hashBucket(col("doc_id"))
     deduped
@@ -159,7 +170,8 @@ object CorpusPipeline {
       langs: Seq[String] = Seq("en", "zh"),
       trainPct: Int = 90, valPct: Int = 5,
       contamRatio: Double = 0.5,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      probeKeepersOnly: Boolean = false): DataFrame = {
     // base feeds THREE consumers (survivor projection, component
     // resolution, final semi-join); checkpoint it once so the whole
     // gates→dedup→decontaminate subtree — the expensive pass over the
@@ -167,7 +179,7 @@ object CorpusPipeline {
     // survivors: small relative to the corpus, safe to materialize.
     val built =
       corpusBuild(documents, benchPct, minTokens, minQuality, langs,
-          trainPct, valPct, contamRatio)
+          trainPct, valPct, contamRatio, probeKeepersOnly)
     val base = if (reliable) built.checkpoint() else built.localCheckpoint()
     val survivorDocs =
       documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")

@@ -109,6 +109,50 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpusBuild probe side: scan-side default has ONE window; keeper-only opt-in is ≡") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def walk(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case w: WindowExec => 1 + w.children.map(walk).sum
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def en(id: Long) = s"the a of and to w$id x$id y$id z$id q$id"
+    // one dup pair (keeper restriction does real work) AND one
+    // contaminated doc — without a flagged row AQE's empty-relation
+    // propagation prunes the whole probe branch at runtime and both
+    // variants degenerate to one window
+    val bench0 = benchIds.head
+    val benchText = s"the a of and to held out probe x$bench0 y"
+    val docs = ids.map { id =>
+      val text =
+        if (benchIds.contains(id)) benchText
+        else if (id == trainIds(1)) en(trainIds(0))
+        else if (id == trainIds(2)) s"the a of and to held out probe x$bench0 c"
+        else en(id)
+      (id, text)
+    }.toDF("doc_id", "text")
+    val fast = CorpusPipeline.corpusBuild(docs)
+    val keeper = CorpusPipeline.corpusBuild(docs, probeKeepersOnly = true)
+    // default: the contamination probe hangs off the scan, so the
+    // dedup window runs ONCE; keeper-only re-traverses it in the probe
+    // branch (second WindowExec over the reused exchange) — the
+    // measured +81% corpus_build wall at sf0.1's ~8% dup rate, which
+    // is why scan-side is the default. Outputs are identical either
+    // way (duplicates share their keeper's text, hence its flag).
+    assert(windows(fast) == 1)
+    assert(windows(keeper) == 2)
+    val a = fast.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = keeper.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("corpusBuildNearDup resolves minhash clusters among the exact survivors") {
     // reuse the corpusBuild fixture shape, plus a planted NEAR-dup pair
     // (distinct texts, shared 12-word tail → LSH bands collide)
