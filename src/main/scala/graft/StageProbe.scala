@@ -22,8 +22,15 @@ object StageProbe {
       val nEdges = args.lift(3).map(_.toInt).getOrElse(10000000)
       val compLen = args.lift(4).map(_.toInt).getOrElse(100)
       val shape = args.lift(5).getOrElse("chain")
-      val m = Bench.ccBench(spark, nEdges, compLen, shape)
-      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      // passes > 1 separates JIT/codegen warm-up from steady state: the
+      // 8-round chain job compiles ~a dozen distinct codegen stages, so
+      // a cold JVM pays C2 compile storms across every round
+      val passes = args.lift(6).map(_.toInt).getOrElse(1)
+      (1 to passes).foreach { p =>
+        val m = Bench.ccBench(spark, nEdges, compLen, shape)
+        println(s"pass=$p " +
+          m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      }
     } else if (args.length > 2 && args(2) == "textdedup") {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val m = Bench.textDedupBench(spark, nDocs)
