@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.crawl.{CrawlConfig, FrontierEngine, LeafPipeline, PageStore, RobotsPolicy, WebSpec}
 import graft.functions.UrlFunctions.hostOf
-import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, explode, lit, pmod, udf, when, xxhash64}
+import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, explode, lit, max, pmod, sum, udf, when, xxhash64}
 
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
@@ -635,6 +635,72 @@ object Bench {
       "cnd_decontam_probe_rows_keepers" -> probeKeepers.toDouble,
       "cnd_decontam_probe_rows_prededup" -> probePreDedup.toDouble,
       "cnd_decontam_probe_row_ratio" -> probePreDedup.toDouble / math.max(1L, probeKeepers))
+  }
+
+  /** Interleaved-record assembly scale probe (StageProbe mode `ix`):
+    * synthetic corpus → spanize (north-rule span schema) → media-store
+    * resolution → per-doc record assembly → fixed-budget packing,
+    * steal-gated, with in-artifact correctness anchors: spans/doc must
+    * equal the closed-form 20/3 (40 words → 5 chunks + {2,2,1} media
+    * spans by doc_id%3), the missing-media fraction must sit near the
+    * md5-tail 1/16 design point, and no packed sequence may exceed
+    * budget + the largest single record. The assemble leg is the
+    * at-scale shape: explode + one media equi-join + one
+    * groupBy(doc_id) exchange. */
+  def interleaveBench(spark: SparkSession, nDocs: Long): Map[String, Double] =
+    withTempDir("graftix")(dir => interleaveBenchIn(spark, nDocs, dir))
+
+  private def interleaveBenchIn(
+      spark: SparkSession, nDocs: Long, dir: String): Map[String, Double] = {
+    import org.apache.spark.sql.functions.concat_ws
+    // 40 distinct-ish words per doc: varied moduli keep the text
+    // non-degenerate without driver-side randomness
+    val words = (1 to 40).map(j =>
+      concat(lit(s"w$j"), pmod(col("id") * (j + 7), lit(97 + j))))
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      .repartition(32).write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+
+    val flat = graft.ops.Interleave.spanizeFlat(docs)
+    val (nSpans, spanSec, spanSteal, _, _) = timedWithSteal { flat.count() }
+
+    val (recAgg, asmSec, asmSteal, _, _) = timedWithSteal {
+      graft.ops.Interleave
+        .assemble(flat, graft.ops.Interleave.mediaStore(flat))
+        .agg(count(lit(1)).as("n"), sum("n_media").as("media"),
+          sum("n_missing").as("missing"), sum("total_tokens").as("toks"))
+        .head()
+    }
+    val nRec = recAgg.getLong(0)
+    val nMedia = recAgg.getLong(1)
+    val nMissing = recAgg.getLong(2)
+    val totToks = recAgg.getLong(3)
+
+    val (packAgg, packSec, packSteal, _, _) = timedWithSteal {
+      graft.ops.Interleave
+        .packManifest(graft.ops.Interleave.assemble(
+          flat, graft.ops.Interleave.mediaStore(flat)), maxTokens = 512)
+        .agg(count(lit(1)).as("bins"), max("seq_tokens").as("maxSeq"))
+        .head()
+    }
+    Map(
+      "ix_docs" -> nDocs.toDouble,
+      "ix_spans" -> nSpans.toDouble,
+      "ix_spans_per_doc" -> nSpans.toDouble / nDocs,
+      "ix_spanize_sec" -> spanSec,
+      "ix_spanize_steal_pct" -> spanSteal,
+      "ix_records" -> nRec.toDouble,
+      "ix_media_spans" -> nMedia.toDouble,
+      "ix_missing_frac" -> nMissing.toDouble / math.max(1L, nMedia),
+      "ix_total_tokens" -> totToks.toDouble,
+      "ix_assemble_sec" -> asmSec,
+      "ix_assemble_steal_pct" -> asmSteal,
+      "ix_assemble_docs_per_sec" -> nDocs / asmSec,
+      "ix_pack_bins" -> packAgg.getLong(0).toDouble,
+      "ix_pack_max_seq_tokens" -> packAgg.getLong(1).toDouble,
+      "ix_pack_sec" -> packSec,
+      "ix_pack_steal_pct" -> packSteal)
   }
 
   private def textDedupBenchIn(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables._
-import graft.ops.{CorpusPipeline, DedupGraph, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{CorpusPipeline, DedupGraph, Interleave, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,7 +144,21 @@ object SparkEntry {
     }),
     "media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(documents(s, d)).toDF()
-        .select("doc_id", "frame_idx", "frame_md5"))
+        .select("doc_id", "frame_idx", "frame_md5")),
+    // interleaved text+media record assembly (north-rule span schema)
+    "ix_spans" -> ((s, d) => Interleave.spanizeFlat(documents(s, d))),
+    "ix_records" -> ((s, d) => {
+      val flat = Interleave.spanizeFlat(documents(s, d))
+      // goes through the NESTED input_hint shape (spanize → flatten)
+      // so the oracle also pins the array round-trip
+      Interleave.assembleDocs(
+        Interleave.spanize(documents(s, d)), Interleave.mediaStore(flat))
+    }),
+    "ix_pack" -> ((s, d) => {
+      val flat = Interleave.spanizeFlat(documents(s, d))
+      Interleave.packManifest(
+        Interleave.assemble(flat, Interleave.mediaStore(flat)))
+    })
   )
 
   // ---- shared DuckDB SQL fragments (must mirror the Spark ops above) ----
@@ -825,6 +839,90 @@ object SparkEntry {
     "media_frames" ->
       """SELECT doc_id, idx::INT AS frame_idx,
                 md5(md5(concat(doc_id::VARCHAR, '|f', idx::VARCHAR))) AS frame_md5
-         FROM documents, range(0, 4) t(idx)"""
+         FROM documents, range(0, 4) t(idx)""",
+    "ix_spans" ->
+      s"""$IX_SPANS_CTE
+          SELECT doc_id,
+                 (row_number() OVER (PARTITION BY doc_id ORDER BY sk) - 1)::INT
+                   AS "offset",
+                 kind, text, media_ref
+          FROM sp""",
+    "ix_records" -> s"$IX_SPANS_CTE $IX_RECORDS_TAIL SELECT * FROM rec",
+    "ix_pack" ->
+      s"""$IX_SPANS_CTE $IX_RECORDS_TAIL,
+          routed AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100) % 8
+                     AS shard,
+                   total_tokens
+            FROM rec),
+          packed AS (
+            SELECT shard, doc_id, total_tokens,
+                   floor((sum(total_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - total_tokens) / 512.0)::BIGINT AS bin
+            FROM routed)
+          SELECT shard, bin, count(*)::BIGINT AS n_docs,
+                 sum(total_tokens)::BIGINT AS seq_tokens,
+                 min(doc_id) AS first_doc
+          FROM packed GROUP BY shard, bin"""
   )
+
+  /** Shared CTEs for the ix_* oracles: the deterministic spanization
+    * (`Interleave.spanizeFlat` mirrored — 8-token chunks, image span
+    * after chunk c iff c % 3 == doc_id % 3, sk = interleave sort key). */
+  private val IX_SPANS_CTE =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS w FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(0, greatest(1, ceil(len(w) / 8.0)::BIGINT)),
+                   c -> struct_pack(c := c,
+                          chunk := array_to_string(w[c*8+1:c*8+8], ' ')))) AS u
+          FROM t),
+        chx AS (SELECT doc_id, u.c AS c, u.chunk AS chunk FROM ch),
+        sp AS (
+          SELECT doc_id, 2*c AS sk, 'text' AS kind, chunk AS text,
+                 '' AS media_ref
+          FROM chx
+          UNION ALL
+          SELECT doc_id, 2*c + 1 AS sk, 'image' AS kind, '' AS text,
+                 'media://' || doc_id::VARCHAR || '/' || c::VARCHAR AS media_ref
+          FROM chx WHERE c % 3 = doc_id % 3)"""
+
+  /** Record-assembly tail over `sp` (`Interleave.assemble` +
+    * `mediaStore` mirrored — md5-derived media meta, 1/16 refs absent,
+    * ViT 16×16 patch pricing, chr(1)-joined order-sensitive
+    * fingerprint). */
+  private val IX_RECORDS_TAIL =
+    s""", media AS (
+          SELECT media_ref, md5(media_ref) AS payload_md5,
+                 64 + (('0x' || substr(md5(media_ref), 1, 2))::INT % 192) AS width,
+                 64 + (('0x' || substr(md5(media_ref), 3, 2))::INT % 192) AS height
+          FROM (SELECT DISTINCT media_ref FROM sp WHERE kind = 'image')
+          WHERE substr(md5(media_ref), 1, 1) <> 'f'),
+        pieced AS (
+          SELECT s.doc_id, s.sk, s.kind,
+                 CASE WHEN s.kind = 'text' THEN s.text
+                      ELSE coalesce(m.payload_md5, '∅') END AS piece,
+                 CASE WHEN s.kind = 'text'
+                      THEN len(list_filter(string_split(s.text, ' '),
+                               x -> x <> ''))::BIGINT ELSE 0 END AS text_toks,
+                 CASE WHEN s.kind = 'image' AND m.media_ref IS NOT NULL
+                      THEN (ceil(m.width / 16.0) * ceil(m.height / 16.0))::BIGINT
+                      ELSE 0 END AS patch_toks,
+                 CASE WHEN s.kind = 'image' AND m.media_ref IS NULL
+                      THEN 1 ELSE 0 END AS missing
+          FROM sp s LEFT JOIN media m ON s.media_ref = m.media_ref),
+        rec AS (
+          SELECT doc_id,
+                 count(*)::BIGINT AS n_spans,
+                 sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+                 sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_media,
+                 sum(missing)::BIGINT AS n_missing,
+                 sum(text_toks)::BIGINT AS text_tokens,
+                 sum(patch_toks)::BIGINT AS patch_tokens,
+                 md5(string_agg(piece, chr(1) ORDER BY sk)) AS content_md5,
+                 (sum(text_toks) + sum(patch_toks))::BIGINT AS total_tokens
+          FROM pieced GROUP BY doc_id)"""
 }

@@ -39,6 +39,10 @@ object StageProbe {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val m = Bench.corpusNearDupBench(spark, nDocs)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "ix") {
+      val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
+      val m = Bench.interleaveBench(spark, nDocs)
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "curation") {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val nBatches = args.lift(4).map(_.toInt).getOrElse(20)
