@@ -429,7 +429,11 @@ object Bench {
     val inLater = col("id") >= s
     val isExact = inLater && (role === 0)
     val isNear = inLater && (role === 1)
-    // dup targets land on roles 5/4 (unique) one batch back: s % p == 0
+    // both dup kinds target UNIQUE role-5 docs one batch back
+    // (s % p == 0 keeps roles batch-aligned): a role-0 id targets
+    // id-s+5 and the adjacent role-1 id targets (id+1)-s+4 — the SAME
+    // role-5 doc, which is fine: the exact dup probes the hash index,
+    // the near dup probes the band index, independently
     val exactTgt = col("id") - s + 5
     val nearTgt = col("id") - s + 4
     val cluster = when(isExact, exactTgt).when(isNear, nearTgt).otherwise(col("id"))

@@ -88,6 +88,10 @@ object TextNorm {
           kv(0).charAt(0) -> kv(1)
         }
         .toSeq
+      // fail fast on a duplicated traditional char (a toMap would
+      // silently last-win and change conversions without warning)
+      require(pairs.map(_._1).distinct.size == pairs.size,
+        "duplicate traditional char in zh_hant2hans.tsv")
       val (narrow, wide) = pairs.partition(_._2.length == 1)
       val m = narrow.map { case (k, v) => k -> v.charAt(0) }.toMap
       require(m.size >= 2500, s"zh_hant2hans table too small: ${m.size}")

@@ -214,15 +214,9 @@ object Interleave {
     * record starts the bin its cumulative start offset falls in. The
     * only orderBy is per shard partition — at cluster scale every
     * executor packs its shards independently, one exchange total. */
-  def packRecords(records: DataFrame, maxTokens: Int = 512, nShards: Int = 8): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-    records
-      .select(col("doc_id"),
-        (Sampling.hashBucket(col("doc_id")) % nShards).as("shard"),
-        col("total_tokens"))
-      .withColumn("bin",
-        floor((sum("total_tokens").over(w) - col("total_tokens")) / maxTokens).cast("long"))
-  }
+  def packRecords(records: DataFrame, maxTokens: Int = 512, nShards: Int = 8): DataFrame =
+    Sampling.packBy(records, col("total_tokens"), maxTokens, nShards)
+      .withColumnRenamed("n_toks", "total_tokens")
 
   /** Per-sequence manifest: how many docs and tokens each packed
     * training sequence holds (the shard/bin grain a data loader reads). */

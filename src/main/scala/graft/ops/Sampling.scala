@@ -62,13 +62,21 @@ object Sampling {
     * Deterministic: same corpus → same bins, regardless of
     * partitioning or cluster size. */
   def packSequences(documents: DataFrame, maxTokens: Int = 256,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8): DataFrame =
+    packBy(documents, size(TextDedup.tokens(col("text"))), maxTokens, nShards)
+
+  /** The shard/offset packing rule over an arbitrary token-cost column
+    * — shared by [[packSequences]] (whitespace tokens) and
+    * `Interleave.packRecords` (multimodal total_tokens), so the greedy
+    * bin rule and the shard routing can never diverge between them. */
+  def packBy(records: DataFrame, tokenCost: Column, maxTokens: Int,
+      nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
-    documents
+    records
       .select(col("doc_id"),
         (hashBucket(col("doc_id")) % nShards).as("shard"),
-        size(TextDedup.tokens(col("text"))).cast("long").as("n_toks"))
+        tokenCost.cast("long").as("n_toks"))
       .withColumn("bin",
         floor((sum("n_toks").over(w) - col("n_toks")) / maxTokens).cast("long"))
   }

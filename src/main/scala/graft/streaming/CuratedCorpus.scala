@@ -170,8 +170,10 @@ final class CuratedCorpus(
           Seq("doc_id"), "left_anti")
         .select("doc_id", "text")
         .persist()
-      batchBands.unpersist()
-      val nNear = exactSurvivors.count() - survivors.count()
+      val nSurv = survivors.count()
+      batchBands.unpersist() // only after survivors materialized — its
+      // plan reads batchBands; unpersisting earlier re-shingles the batch
+      val nNear = exactSurvivors.count() - nSurv
       val appended = IceLiteSink.appendBatch(table, survivors, batchId)
       if (appended) {
         val tableV = table.currentVersion
@@ -180,9 +182,14 @@ final class CuratedCorpus(
         hashIdx.append(hashRowsOf(survivors), s"index batch=$batchId", idxProps)
         bandIdx.append(bandRowsOf(survivors), s"index batch=$batchId", idxProps)
       }
+      // refresh LAST: it deletes the superseded index generation's
+      // mirror/shard files, which survivors' lineage (through bandHits)
+      // still references — nothing may re-execute that plan afterwards
+      // (on a cluster a lost cached partition would otherwise recompute
+      // against deleted files)
       val refreshed =
         hashIdx.maybeRefresh(refreshDeltaBytes) | bandIdx.maybeRefresh(refreshDeltaBytes)
-      val n = if (appended) survivors.count() else 0L
+      val n = if (appended) nSurv else 0L
       exactSurvivors.unpersist()
       survivors.unpersist()
       BatchReport(appended, n, nExact, nNear, hashStats, bandStats, refreshed)

@@ -113,6 +113,8 @@ final class ProbedKeyIndex(
     snap.withColumn("bucket", bucketColFor(nb))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    // footer-metadata count (Parquet count() never reads data pages) —
+    // sizes the bloom shards without a second full pass over the keys
     val rows = spark.read.parquet(out).count()
     shards.refresh(snap, v, expectedItemsPerShard = math.max(1024L, rows / nb),
       fpp = fpp, bucketsForGen = nb)
@@ -136,6 +138,29 @@ final class ProbedKeyIndex(
 
   import ProbedKeyIndex.LookupStats
 
+  /** Whole-mirror (file count, byte total) for generation `g`, cached —
+    * the totals only change at refresh, so per-probe driver work stays
+    * O(candidate buckets), never O(mirror files): at the 2^18-bucket
+    * design point an uncached walk would stat ~10^5 dirs per probe. */
+  @volatile private var genTotalsCache: Option[(Int, Int, Long)] = None
+  private def mirrorTotals(g: Int): (Int, Long) =
+    genTotalsCache match {
+      case Some((cg, f, b)) if cg == g => (f, b)
+      case _ =>
+        val fb =
+          if (g > 0)
+            scala.util.Using.resource(Files.walk(Paths.get(mirrorDir(g)))) { w =>
+              var n = 0; var bytes = 0L
+              w.forEach { p =>
+                if (p.toString.endsWith(".parquet")) { n += 1; bytes += Files.size(p) }
+              }
+              (n, bytes)
+            }
+          else (0, 0L)
+        genTotalsCache = Some((g, fb._1, fb._2))
+        fb
+    }
+
   /** Rows of `rows` whose key EXISTS in the index (distinct key match;
     * extra columns of `rows` ride through the semi-join). Corpus-side
     * work: bloom-candidate buckets' mirror partitions (partition-pruned
@@ -146,23 +171,17 @@ final class ProbedKeyIndex(
   def hits(rows: DataFrame): (DataFrame, LookupStats) = {
     val g = generation
     val genBuckets = bucketsAt(g)
-    val candidates =
-      if (g > 0) rows.select(keyCols: _*).filter(shards.probeCol(keyCols))
-      else rows.select(keyCols: _*).limit(0)
-    val candBuckets: Seq[Int] =
-      if (g > 0) candidates.select(bucketColFor(genBuckets).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      else Seq.empty
-    val nCand = if (g > 0) candidates.count() else 0L
-    val mirrorBytesTotal: Long =
-      if (g > 0)
-        scala.util.Using.resource(Files.walk(Paths.get(mirrorDir(g)))) { w =>
-          var n = 0L
-          w.forEach(p => if (p.toString.endsWith(".parquet")) n += Files.size(p))
-          n
-        }
-      else 0L
-    val (mirrorSide, mirrorTotal, mirrorScanned, mirrorBytes) =
+    // one job yields both the candidate buckets AND the candidate count
+    // (per-bucket counts of the bloom-filtered batch)
+    val (candBuckets, nCand): (Seq[Int], Long) =
+      if (g > 0) {
+        val perBucket = rows.select(keyCols: _*).filter(shards.probeCol(keyCols))
+          .groupBy(bucketColFor(genBuckets).as("b")).count()
+          .collect()
+        (perBucket.map(_.getInt(0)).toSeq, perBucket.map(_.getLong(1)).sum)
+      } else (Seq.empty, 0L)
+    val (mirrorTotal, mirrorBytesTotal) = mirrorTotals(g)
+    val (mirrorSide, mirrorScanned, mirrorBytes) =
       if (g > 0 && candBuckets.nonEmpty) {
         val m = spark.read.parquet(mirrorDir(g))
           .filter(col("bucket").isin(candBuckets: _*))
@@ -179,21 +198,9 @@ final class ProbedKeyIndex(
             s.forEach(p => if (p.toString.endsWith(".parquet")) { bb += p; () })
             bb.result()
           }))
-        val total = scala.util.Using.resource(Files.walk(Paths.get(mirrorDir(g))))(w => {
-          var n = 0
-          w.forEach(p => if (p.toString.endsWith(".parquet")) n += 1)
-          n
-        })
-        (m, total, files.size.toLong, files.map(Files.size(_)).sum)
+        (m, files.size.toLong, files.map(Files.size(_)).sum)
       } else {
-        val total =
-          if (g > 0) scala.util.Using.resource(Files.walk(Paths.get(mirrorDir(g))))(w => {
-            var n = 0
-            w.forEach(p => if (p.toString.endsWith(".parquet")) n += 1)
-            n
-          })
-          else 0
-        (rows.select(keyCols: _*).limit(0), total, 0L, 0L)
+        (rows.select(keyCols: _*).limit(0), 0L, 0L)
       }
     val dFiles = deltaFiles
     val deltaSide =
