@@ -842,11 +842,7 @@ object SparkEntry {
          FROM documents, range(0, 4) t(idx)""",
     "ix_spans" ->
       s"""$IX_SPANS_CTE
-          SELECT doc_id,
-                 (row_number() OVER (PARTITION BY doc_id ORDER BY sk) - 1)::INT
-                   AS "offset",
-                 kind, text, media_ref
-          FROM sp""",
+          SELECT doc_id, "offset", kind, text, media_ref FROM sp""",
     "ix_records" -> s"$IX_SPANS_CTE $IX_RECORDS_TAIL SELECT * FROM rec",
     "ix_pack" ->
       s"""$IX_SPANS_CTE $IX_RECORDS_TAIL,
@@ -870,7 +866,10 @@ object SparkEntry {
 
   /** Shared CTEs for the ix_* oracles: the deterministic spanization
     * (`Interleave.spanizeFlat` mirrored — 8-token chunks, image span
-    * after chunk c iff c % 3 == doc_id % 3, sk = interleave sort key). */
+    * after chunk c iff c % 3 == doc_id % 3, dense offsets in CLOSED
+    * form: chunk c's text span sits at c + mb(c) where mb(c) = the
+    * media spans before it = floor((c - r - 1)/3) + 1 for c > r =
+    * doc_id % 3, else 0). */
   private val IX_SPANS_CTE =
     s"""WITH t AS (SELECT doc_id, $TOKS AS w FROM documents),
         ch AS (
@@ -880,13 +879,19 @@ object SparkEntry {
                    c -> struct_pack(c := c,
                           chunk := array_to_string(w[c*8+1:c*8+8], ' ')))) AS u
           FROM t),
-        chx AS (SELECT doc_id, u.c AS c, u.chunk AS chunk FROM ch),
+        chx AS (
+          SELECT doc_id, u.c AS c, u.chunk AS chunk,
+                 CASE WHEN u.c > doc_id % 3
+                      THEN floor((u.c - doc_id % 3 - 1) / 3.0)::BIGINT + 1
+                      ELSE 0 END AS mb
+          FROM ch),
         sp AS (
-          SELECT doc_id, 2*c AS sk, 'text' AS kind, chunk AS text,
-                 '' AS media_ref
+          SELECT doc_id, (c + mb)::INT AS "offset", 'text' AS kind,
+                 chunk AS text, '' AS media_ref
           FROM chx
           UNION ALL
-          SELECT doc_id, 2*c + 1 AS sk, 'image' AS kind, '' AS text,
+          SELECT doc_id, (c + mb + 1)::INT AS "offset", 'image' AS kind,
+                 '' AS text,
                  'media://' || doc_id::VARCHAR || '/' || c::VARCHAR AS media_ref
           FROM chx WHERE c % 3 = doc_id % 3)"""
 
@@ -902,7 +907,7 @@ object SparkEntry {
           FROM (SELECT DISTINCT media_ref FROM sp WHERE kind = 'image')
           WHERE substr(md5(media_ref), 1, 1) <> 'f'),
         pieced AS (
-          SELECT s.doc_id, s.sk, s.kind,
+          SELECT s.doc_id, s."offset", s.kind,
                  CASE WHEN s.kind = 'text' THEN s.text
                       ELSE coalesce(m.payload_md5, '∅') END AS piece,
                  CASE WHEN s.kind = 'text'
@@ -922,7 +927,7 @@ object SparkEntry {
                  sum(missing)::BIGINT AS n_missing,
                  sum(text_toks)::BIGINT AS text_tokens,
                  sum(patch_toks)::BIGINT AS patch_tokens,
-                 md5(string_agg(piece, chr(1) ORDER BY sk)) AS content_md5,
+                 md5(string_agg(piece, chr(1) ORDER BY "offset")) AS content_md5,
                  (sum(text_toks) + sum(patch_toks))::BIGINT AS total_tokens
           FROM pieced GROUP BY doc_id)"""
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interleaved text+media training-record assembly — the downstream
@@ -33,9 +32,9 @@ import org.apache.spark.sql.functions._
   *     assembled records (`Sampling.packSequences`' shard/offset rule,
   *     priced in multimodal tokens).
   *
-  * Scale shape: spanize/mediaStore are scan-side projections (the one
-  * window in spanize exists only for the dense offset of the SYNTHETIC
-  * table; crawl spans already carry offsets). assemble is one explode,
+  * Scale shape: spanize/mediaStore are zero-shuffle scan-side
+  * projections (dense offsets come from a closed form, not a window;
+  * crawl spans already carry offsets). assemble is one explode,
   * one equi-join on media_ref (media store ≪ corpus → AQE broadcast;
   * else a co-partitioned shuffle join), and one groupBy(doc_id) — the
   * single corpus-sized exchange. packRecords adds one shard-partitioned
@@ -57,7 +56,13 @@ object Interleave {
     * `media://<doc_id>/<c>` is interleaved whenever
     * `c % 3 == doc_id % 3` (so every doc interleaves ~⅓ images at
     * doc-dependent positions). Offsets are dense per document in
-    * interleave order. Mirrored verbatim in the `ix_spans` oracle SQL. */
+    * interleave order, computed in CLOSED FORM (text chunk c sits at
+    * c + the count of media spans before it, which is
+    * `floor((c - r - 1)/3) + 1` for `c > r = doc_id % 3`, else 0) —
+    * the whole generator is a zero-shuffle scan-side projection, no
+    * row_number window. Mirrored verbatim in the `ix_spans` oracle
+    * SQL; the dense-offset property and the interleave order are
+    * pinned by the scalar-reference spec. */
   def spanizeFlat(documents: DataFrame): DataFrame = {
     val toks = TextDedup.tokens(col("text"))
     val nChunks = ceil(size(toks) / lit(ChunkTokens.toDouble)).cast("int")
@@ -67,16 +72,19 @@ object Interleave {
           .otherwise(transform(sequence(lit(0), nChunks - 1),
             c => array_join(slice(toks, c * ChunkTokens + 1, lit(ChunkTokens)), " "))))
         .as(Seq("c", "chunk")))
-    val textSpans = chunks.select(col("doc_id"), (col("c") * 2).as("sk"),
+    val r = col("doc_id") % 3
+    val mediaBefore =
+      when(col("c") > r, floor((col("c") - r - lit(1)) / 3.0) + 1).otherwise(lit(0L))
+    val textSpans = chunks.select(col("doc_id"),
+      (col("c") + mediaBefore).cast("int").as("offset"),
       lit("text").as("kind"), col("chunk").as("text"), lit("").as("media_ref"))
     val mediaSpans = chunks
-      .filter(col("c") % 3 === col("doc_id") % 3)
-      .select(col("doc_id"), (col("c") * 2 + 1).as("sk"),
+      .filter(col("c") % 3 === r)
+      .select(col("doc_id"),
+        (col("c") + mediaBefore + 1).cast("int").as("offset"),
         lit("image").as("kind"), lit("").as("text"),
         concat(lit("media://"), col("doc_id"), lit("/"), col("c")).as("media_ref"))
     textSpans.unionAll(mediaSpans)
-      .withColumn("offset",
-        (row_number().over(Window.partitionBy("doc_id").orderBy("sk")) - 1).cast("int"))
       .select("doc_id", "offset", "kind", "text", "media_ref")
   }
 
