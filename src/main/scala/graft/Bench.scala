@@ -664,47 +664,89 @@ object Bench {
     spark.range(nDocs)
       .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
       .repartition(32).write.parquet(s"$dir/docs")
+    // Size read splits to the corpus so small rungs still fan out to
+    // every core: 32 files of a 10^6-doc corpus total ~50 MB, and the
+    // default 128 MB maxPartitionBytes + 4 MB openCost packs them into
+    // ~2 splits — the 10^6 rung then measures a 2-task scan (~29k
+    // rows/s/task, same per-task rate as the 32-task 10^7 rung). At
+    // 100 TB splits are abundant; a file-packing floor is a synthetic
+    // artifact, not the operator's scaling. Scoped + restored.
+    val prevMaxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val docBytes = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(1L << 20, docBytes / 32))
+    spark.conf.set("spark.sql.files.openCostInBytes", 0L)
+    try interleaveBenchLegs(spark, nDocs, dir)
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxSplit)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+    }
+  }
+
+  private def interleaveBenchLegs(
+      spark: SparkSession, nDocs: Long, dir: String): Map[String, Double] = {
     val docs = spark.read.parquet(s"$dir/docs")
 
     val flat = graft.ops.Interleave.spanizeFlat(docs)
-    val (nSpans, spanSec, spanSteal, _, _) = timedWithSteal { flat.count() }
-
-    val (recAgg, asmSec, asmSteal, _, _) = timedWithSteal {
-      graft.ops.Interleave
-        .assemble(flat, graft.ops.Interleave.mediaStore(flat))
-        .agg(count(lit(1)).as("n"), sum("n_media").as("media"),
-          sum("n_missing").as("missing"), sum("total_tokens").as("toks"))
-        .head()
-    }
-    val nRec = recAgg.getLong(0)
-    val nMedia = recAgg.getLong(1)
-    val nMissing = recAgg.getLong(2)
-    val totToks = recAgg.getLong(3)
-
-    val (packAgg, packSec, packSteal, _, _) = timedWithSteal {
+    // UNTIMED warm-up at 1% scale: the first job of a fresh JVM pays
+    // the Spark-jar page-cache + C2 compile of every codegen stage
+    // (measured ~150-200 s charged to whichever leg runs first — the
+    // ccBench cold-pass lesson); running the full pipeline shape once
+    // small moves that cost out of the timed legs
+    locally {
+      val w = docs.limit(math.max(1000, (nDocs / 100).toInt))
+      val wf = graft.ops.Interleave.spanizeFlat(w)
       graft.ops.Interleave
         .packManifest(graft.ops.Interleave.assemble(
-          flat, graft.ops.Interleave.mediaStore(flat)), maxTokens = 512)
-        .agg(count(lit(1)).as("bins"), max("seq_tokens").as("maxSeq"))
-        .head()
+          wf, graft.ops.Interleave.mediaStore(wf)), maxTokens = 512)
+        .count()
+      ()
     }
-    Map(
-      "ix_docs" -> nDocs.toDouble,
-      "ix_spans" -> nSpans.toDouble,
-      "ix_spans_per_doc" -> nSpans.toDouble / nDocs,
-      "ix_spanize_sec" -> spanSec,
-      "ix_spanize_steal_pct" -> spanSteal,
-      "ix_records" -> nRec.toDouble,
-      "ix_media_spans" -> nMedia.toDouble,
-      "ix_missing_frac" -> nMissing.toDouble / math.max(1L, nMedia),
-      "ix_total_tokens" -> totToks.toDouble,
-      "ix_assemble_sec" -> asmSec,
-      "ix_assemble_steal_pct" -> asmSteal,
-      "ix_assemble_docs_per_sec" -> nDocs / asmSec,
-      "ix_pack_bins" -> packAgg.getLong(0).toDouble,
-      "ix_pack_max_seq_tokens" -> packAgg.getLong(1).toDouble,
-      "ix_pack_sec" -> packSec,
-      "ix_pack_steal_pct" -> packSteal)
+    // each leg steal-gated like the crawl/dedup sections: the shared
+    // host throttles in multi-minute windows (observed 12-14% steal
+    // windows turning the scan-side spanize leg 3× slow), so re-run a
+    // dirty window and keep the best try with its steal recorded
+    val spanizeLeg = retryOnSteal("ix_spanize", "ix_spanize_rows_per_sec", 3) {
+      val (n, sec, steal, _, _) = timedWithSteal { flat.count() }
+      Map("ix_spans" -> n.toDouble,
+        "ix_spans_per_doc" -> n.toDouble / nDocs,
+        "ix_spanize_sec" -> sec,
+        "ix_spanize_rows_per_sec" -> n / sec,
+        "ix_spanize_steal_pct" -> steal)
+    }
+    val assembleLeg = retryOnSteal("ix_assemble", "ix_assemble_docs_per_sec", 3) {
+      val (recAgg, sec, steal, _, _) = timedWithSteal {
+        graft.ops.Interleave
+          .assemble(flat, graft.ops.Interleave.mediaStore(flat))
+          .agg(count(lit(1)).as("n"), sum("n_media").as("media"),
+            sum("n_missing").as("missing"), sum("total_tokens").as("toks"))
+          .head()
+      }
+      Map("ix_records" -> recAgg.getLong(0).toDouble,
+        "ix_media_spans" -> recAgg.getLong(1).toDouble,
+        "ix_missing_frac" -> recAgg.getLong(2).toDouble / math.max(1L, recAgg.getLong(1)),
+        "ix_total_tokens" -> recAgg.getLong(3).toDouble,
+        "ix_assemble_sec" -> sec,
+        "ix_assemble_steal_pct" -> steal,
+        "ix_assemble_docs_per_sec" -> nDocs / sec)
+    }
+    val packLeg = retryOnSteal("ix_pack", "ix_pack_docs_per_sec", 3) {
+      val (packAgg, sec, steal, _, _) = timedWithSteal {
+        graft.ops.Interleave
+          .packManifest(graft.ops.Interleave.assemble(
+            flat, graft.ops.Interleave.mediaStore(flat)), maxTokens = 512)
+          .agg(count(lit(1)).as("bins"), max("seq_tokens").as("maxSeq"))
+          .head()
+      }
+      Map("ix_pack_bins" -> packAgg.getLong(0).toDouble,
+        "ix_pack_max_seq_tokens" -> packAgg.getLong(1).toDouble,
+        "ix_pack_sec" -> sec,
+        "ix_pack_docs_per_sec" -> nDocs / sec,
+        "ix_pack_steal_pct" -> steal)
+    }
+    Map("ix_docs" -> nDocs.toDouble) ++ spanizeLeg ++ assembleLeg ++ packLeg
   }
 
   private def textDedupBenchIn(

@@ -41,8 +41,15 @@ object StageProbe {
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "ix") {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
-      val m = Bench.interleaveBench(spark, nDocs)
-      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+      // passes > 1 prints each pass: pass 1 carries whatever fresh-JVM
+      // cold cost the warm-up didn't absorb; later passes are steady
+      // state (the cc-mode lesson applied to the small rungs)
+      val passes = args.lift(4).map(_.toInt).getOrElse(1)
+      for (p <- 1 to passes) {
+        val m = Bench.interleaveBench(spark, nDocs)
+        println(s"pass=$p " + m.toSeq.sortBy(_._1)
+          .map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
+      }
     } else if (args.length > 2 && args(2) == "curation") {
       val nDocs = args.lift(3).map(_.toLong).getOrElse(1000000L)
       val nBatches = args.lift(4).map(_.toInt).getOrElse(20)
