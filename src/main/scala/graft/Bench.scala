@@ -1187,7 +1187,11 @@ object Bench {
       } ++
       retryOnSteal("crawl", "crawl_urls_per_sec", maxTries = 2) {
         crawlBench(spark, crawlCats, nHosts = 32)
-      }
+      } ++
+      // the payload axis: spanize → assemble → pack over the input_hint
+      // span schema (legs steal-gate themselves inside interleaveBench)
+      interleaveBench(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_IX_DOCS", "1000000").toLong)
 
     val qs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
