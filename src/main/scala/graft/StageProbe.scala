@@ -71,8 +71,21 @@ object StageProbe {
       val m = Bench.annClusteredRecallBench(spark)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.4f" }.mkString(" "))
     } else if (args.length > 2 && args(2) == "crawl") {
-      val m = Bench.crawlBench(spark, nUrls, nHosts = 32)
+      // gated like the committed artifact's crawl leg: steal + foreign
+      // CPU + memory-bandwidth (the third signal both CPU gates miss)
+      val m = Bench.retryOnSteal("crawl", "crawl_urls_per_sec",
+        maxTries = args.lift(4).map(_.toInt).getOrElse(2)) {
+        Bench.crawlBench(spark, nUrls, nHosts = 32)
+      }
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    } else if (args.length > 2 && args(2) == "gate") {
+      // smoke test of the 3-signal retry gate at tiny scale: prints the
+      // kept steal/foreign/mem-bw keys so the gate's plumbing is
+      // verifiable without a full bench run
+      val m = Bench.retryOnSteal("stage", "stage_urls_per_sec", maxTries = 2) {
+        Bench.stageBench(spark, nUrls)
+      }
+      println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     } else {
       val m = Bench.stageBench(spark, nUrls)
       println(m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
