@@ -898,7 +898,8 @@ object SparkEntry {
   /** Record-assembly tail over `sp` (`Interleave.assemble` +
     * `mediaStore` mirrored — md5-derived media meta, 1/16 refs absent,
     * ViT 16×16 patch pricing, chr(1)-joined order-sensitive
-    * fingerprint). */
+    * fingerprint whose pieces are chr(2)-joined (kind, text,
+    * media_ref, resolved) tuples). */
   private val IX_RECORDS_TAIL =
     s""", media AS (
           SELECT media_ref, md5(media_ref) AS payload_md5,
@@ -908,8 +909,11 @@ object SparkEntry {
           WHERE substr(md5(media_ref), 1, 1) <> 'f'),
         pieced AS (
           SELECT s.doc_id, s."offset", s.kind,
-                 CASE WHEN s.kind = 'text' THEN s.text
-                      ELSE coalesce(m.payload_md5, '∅') END AS piece,
+                 concat_ws(chr(2), s.kind, coalesce(s.text, ''),
+                           coalesce(s.media_ref, ''),
+                           CASE WHEN s.kind = 'image'
+                                THEN coalesce(m.payload_md5, '∅')
+                                ELSE '' END) AS piece,
                  CASE WHEN s.kind = 'text'
                       THEN len(list_filter(string_split(s.text, ' '),
                                x -> x <> ''))::BIGINT ELSE 0 END AS text_toks,

@@ -49,6 +49,10 @@ object Interleave {
     * whitespace-tokenized text). */
   private val Sep = "\u0001"
 
+  /** Field separator WITHIN a span's fingerprint piece (U+0002 — like
+    * [[Sep]], cannot occur in whitespace-tokenized text). */
+  private val FieldSep = "\u0002"
+
   /** Deterministic span table of exactly the north-rule FLAT shape
     * `(doc_id, offset, kind, text, media_ref)` from the driver's
     * `documents` table: the text is chunked into `ChunkTokens`-token
@@ -165,11 +169,14 @@ object Interleave {
   /** Assemble interleaved training records: one row per document with
     * span counts, missing-media count, text/patch/total token prices,
     * and an ORDER-SENSITIVE content fingerprint (md5 over the spans'
-    * canonical pieces — text for text spans, the media payload hash
-    * for resolved images, "∅" for missing ones — joined by U+0001 in
-    * offset order). Two docs assemble to the same fingerprint iff
-    * their span sequences are piecewise equal in order — the per-row
-    * invariant the north rule checks, as a column.
+    * canonical pieces, joined by U+0001 in offset order; each piece is
+    * the span's FULL identity `kind ⊕ text ⊕ media_ref ⊕ resolved`
+    * joined by U+0002, where `resolved` is the media payload hash for
+    * resolved images, "∅" for missing ones, "" for non-image spans).
+    * Two docs assemble to the same fingerprint iff their span
+    * sequences are equal as (kind, text, media_ref, order) tuples —
+    * the north rule's per-row invariant, as a column — AND their
+    * resolved media contents agree.
     *
     * Only `kind='image'` spans resolve against the media store — the
     * same rule the crawl's own media fetch applies
@@ -187,13 +194,16 @@ object Interleave {
     val mediaSide = spansFlat.filter(col("kind") === "image")
       .join(media, Seq("media_ref"), "left")
       .select(col("doc_id"), col("offset"), col("kind"),
-        coalesce(col("payload_md5"), lit("∅")).as("piece"),
+        concat_ws(FieldSep, col("kind"), coalesce(col("text"), lit("")),
+          coalesce(col("media_ref"), lit("")),
+          coalesce(col("payload_md5"), lit("∅"))).as("piece"),
         lit(0L).as("text_toks"),
         coalesce(patchTokens(col("width"), col("height")), lit(0L)).as("patch_toks"),
         when(col("payload_md5").isNull, 1L).otherwise(0L).as("missing"))
     val textSide = spansFlat.filter(col("kind") =!= "image")
       .select(col("doc_id"), col("offset"), col("kind"),
-        col("text").as("piece"),
+        concat_ws(FieldSep, col("kind"), coalesce(col("text"), lit("")),
+          coalesce(col("media_ref"), lit("")), lit("")).as("piece"),
         size(TextDedup.tokens(col("text"))).cast("long").as("text_toks"),
         lit(0L).as("patch_toks"), lit(0L).as("missing"))
     textSide.unionAll(mediaSide)

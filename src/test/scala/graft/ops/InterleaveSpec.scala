@@ -36,11 +36,13 @@ class InterleaveSpec extends SparkSpec {
 
   private def refAssemble(spans: Vector[RefSpan]): RefRec = {
     val pieces = spans.map { s =>
-      if (s.kind == "text") s.text
-      else {
-        val h = md5Hex(s.mediaRef)
-        if (h.charAt(0) == 'f') "∅" else h
-      }
+      val resolved =
+        if (s.kind != "image") ""
+        else {
+          val h = md5Hex(s.mediaRef)
+          if (h.charAt(0) == 'f') "∅" else h
+        }
+      Seq(s.kind, s.text, s.mediaRef, resolved).mkString("\u0002")
     }
     val patch = spans.filter(_.kind == "image").map { s =>
       val h = md5Hex(s.mediaRef)
@@ -159,10 +161,11 @@ class InterleaveSpec extends SparkSpec {
     want.foreach { case (id, spans) =>
       val ordered = spans.sortBy(_._4)
       val pieces = ordered.map {
-        case ("image", _, ref, _) =>
+        case ("image", t, ref, _) =>
           sawImage = true
-          mediaOk.get(ref).map(md5OfBytes).getOrElse("∅")
-        case (_, t, _, _) => t
+          val resolved = mediaOk.get(ref).map(md5OfBytes).getOrElse("∅")
+          Seq("image", t, ref, resolved).mkString("\u0002")
+        case (k, t, ref, _) => Seq(k, t, ref, "").mkString("\u0002")
       }
       val patch = ordered.collect { case ("image", _, ref, _) =>
         mediaOk.get(ref).map { b =>
