@@ -127,6 +127,26 @@ class InterleaveSpec extends SparkSpec {
     assert(recs(1L) !== recs(2L))
   }
 
+  test("fingerprint separates spans by kind and by media_ref, not just text") {
+    // same text at the same offsets, different KIND (text vs toc) —
+    // the piece carries the kind, so the fingerprints must differ
+    val byKind = Seq(
+      (1L, 0, "text", "a b", ""), (2L, 0, "toc", "a b", ""))
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
+    val kindRecs = Interleave.assemble(byKind, Interleave.mediaStore(byKind))
+      .select("doc_id", "content_md5").as[(Long, String)].collect().toMap
+    assert(kindRecs(1L) !== kindRecs(2L), "kind must be in the fingerprint")
+    // same kind+text, different media_ref on a NON-image span — the
+    // north rule's tuple includes media_ref for every span kind
+    val byRef = Seq(
+      (1L, 0, "thumb", "", "media://x/1"), (2L, 0, "thumb", "", "media://x/2"))
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
+    val refRecs = Interleave.assemble(byRef, Interleave.mediaStore(byRef))
+      .select("doc_id", "content_md5").as[(Long, String)].collect().toMap
+    assert(refRecs(1L) !== refRecs(2L),
+      "media_ref must be in the fingerprint for non-image spans too")
+  }
+
   test("assembleDocs over the CRAWL's own docs+media tables ≡ scalar recompute") {
     import graft.crawl.{CrawlConfig, FrontierEngine, LeafPipeline, PageStore, WebSpec}
     val store = new PageStore(WebSpec(nCats = 20, nArticles = 40))
