@@ -153,17 +153,19 @@ object Bench {
     var bestSteal = 0.0
     var bestForeign = 0.0
     var bestBw = 0.0
+    var bestGc = 0.0
     var tries = 0
     var clean = false
     while (tries < maxTries && !clean) {
       val bw0 = memBwProbe()
-      val (m, _, windowSteal, _, _, foreignPct) = timedWithStealForeign(section)
+      val (m, _, windowSteal, _, gcSec, foreignPct) = timedWithStealForeign(section)
       val bw = math.min(bw0, memBwProbe())
       if (bw > peakMemBw) peakMemBw = bw
       val steal = m.getOrElse(s"${name}_steal_pct", windowSteal)
       tries += 1
       if (best == null || m(primary) > best(primary)) {
         best = m; bestSteal = steal; bestForeign = foreignPct; bestBw = bw
+        bestGc = gcSec
       }
       clean = steal <= thresholdPct && foreignPct <= foreignThresholdPct &&
         bw >= memBwFrac * peakMemBw
@@ -172,6 +174,9 @@ object Bench {
       s"${name}_kept_steal_pct" -> bestSteal,
       s"${name}_kept_foreign_cpu_pct" -> bestForeign,
       s"${name}_kept_mem_bw_gbs" -> bestBw,
+      // GC seconds inside the kept window: separates "the box was
+      // contended" from "our own heap churned" when a leg reads slow
+      s"${name}_kept_gc_sec" -> bestGc,
       s"${name}_tries" -> tries.toDouble)
   }
 
