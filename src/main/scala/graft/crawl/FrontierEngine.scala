@@ -118,7 +118,12 @@ final case class CrawlConfig(
     // (default, matches the single-host reference); false = key on
     // (host, title), what a real multi-host crawl wants: no cross-host
     // data loss, while same-host sanitize collisions still conflate.
-    fidelityF4: Boolean = true
+    fidelityF4: Boolean = true,
+    // chaos-injection hook (tests / fault drills): URLs whose link
+    // extraction is FORCED to throw, exercising the extract-failure
+    // quarantine path end-to-end (CategoryExtractor itself is total on
+    // any input, so a drill needs the fault injected at the seam).
+    chaosExtractFail: Set[String] = Set.empty
 )
 
 object FrontierEngine {
@@ -276,13 +281,37 @@ object FrontierEngine {
     case CategoryExtractor.PageNext   => "page_next"
   }
 
-  /** Task-side link extraction for one fetched page. */
-  def extractLinks(r: (String, Long, String)): Seq[(String, String, String, Int, Long, Long, String)] = {
+  /** Task-side link extraction for one fetched page.
+    *
+    * An extract that THROWS (pathological page structure a real crawl
+    * will eventually fetch) must not kill the task — at 10^10-frontier
+    * scale one poisoned category page would fail the stage after its 4
+    * retries and stop the whole BFS. It becomes a single sentinel row
+    * (section="extract_failed", title=error, pre_url=the failed page)
+    * that the superstep routes to the extract_failures table and drops
+    * from the link flow: the page contributes zero links, exactly like
+    * a 404. StackOverflowError is caught at this per-page boundary (the
+    * stack is unwound by the time the handler runs). */
+  def extractLinks(
+      r: (String, Long, String),
+      chaosFail: Set[String] = Set.empty): Seq[(String, String, String, Int, Long, Long, String)] = {
     val (purl, pseq, html) = r
-    CategoryExtractor.extract(originOf(purl), html).map { l =>
-      (l.url, l.title, purl, l.isleaf, pseq, l.emitIdx.toLong, sectionTag(l.section))
+    try {
+      if (chaosFail.contains(purl))
+        throw new IllegalStateException("chaos: forced extract failure")
+      CategoryExtractor.extract(originOf(purl), html).map { l =>
+        (l.url, l.title, purl, l.isleaf, pseq, l.emitIdx.toLong, sectionTag(l.section))
+      }
+    } catch {
+      case e: StackOverflowError =>
+        Seq(("", errStr(e), purl, 0, pseq, -1L, "extract_failed"))
+      case scala.util.control.NonFatal(e) =>
+        Seq(("", errStr(e), purl, 0, pseq, -1L, "extract_failed"))
     }
   }
+
+  private def errStr(e: Throwable): String =
+    s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}".take(400)
 }
 
 final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConfig) {
@@ -305,6 +334,12 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     * cadence (append-only, so vacuum only sweeps pre-compaction
     * duplicates). */
   val order = new IceLite(spark, s"${cfg.workDir}/crawl_order")
+  /** Quarantined link-extract failures (url, error, superstep) — pages
+    * whose [[FrontierEngine.extractLinks]] threw. The page is treated
+    * like a 404 (zero links contributed, still marked seen); the row
+    * here is the audit trail so a crawl over real web HTML can report
+    * and retry poisoned pages instead of dying. */
+  val extractFailures = new IceLite(spark, s"${cfg.workDir}/extract_failures")
 
   /** Bucketed state mirrors (cfg.seenBuckets > 0): refreshed at the
     * compaction cadence; the anti-joins read them exchange-free and
@@ -574,12 +609,23 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         coalesceTo = 1)
     }
 
-    val links = fetched
+    val chaosFail = cfg.chaosExtractFail
+    val linksAll = fetched
       .filter(col("html").isNotNull)
       .as[(String, Long, String)]
-      .flatMap(FrontierEngine.extractLinks _)
+      .flatMap(r => FrontierEngine.extractLinks(r, chaosFail))
       .toDF("url", "title", "pre_url", "isleaf", "parent_seq", "emit_idx", "section")
-    links.persist()
+      .persist()
+    // quarantined extract failures (see extractLinks): out of the link
+    // flow, into their own table — the page acts like a 404
+    val xFails = linksAll.filter(col("section") === "extract_failed")
+    if (phase(k, "extract-fail count") { xFails.count() } > 0) {
+      appendOnce(extractFailures, s"extract_failures k=$k",
+        xFails.select(col("pre_url").as("url"), col("title").as("error"))
+          .withColumn("superstep", lit(k)),
+        coalesceTo = 1)
+    }
+    val links = linksAll.filter(col("section") =!= "extract_failed")
 
     // ---- frontier rows (Tot_urls semantics) ----
     val nonPage = links.filter(col("section") =!= "page")
@@ -699,7 +745,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     seenApprox += nq // lower bound on the seen delta (blocked adds excluded)
 
     fetchedChunks.foreach(c => { c.unpersist(); () })
-    links.unpersist()
+    linksAll.unpersist()
     unseen.unpersist()
     nextQueue.unpersist()
     (nq, nFetched)

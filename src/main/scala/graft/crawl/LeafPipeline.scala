@@ -36,15 +36,41 @@ object LeafPipeline {
       spans: Seq[SpanRow]
   )
 
-  /** Task-side: fetch+parse one work item (standalone for clean closures). */
+  /** Fetch+parse outcome of one work item: `doc` on success, a
+    * non-empty `error` on a parse that threw. Robots-blocked, 404 and
+    * redlink pages emit nothing, as the reference does. */
+  final case class ParseOut(url: String, title: String, error: String, doc: Option[DocRow])
+
+  private def errStr(e: Throwable): String =
+    s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}".take(400)
+
+  /** Task-side: fetch+parse one work item (standalone for clean closures).
+    *
+    * A page whose parse THROWS must not kill the task: at 10^10-page
+    * scale one poisoned document (nesting past the infobox walker's
+    * recursion budget, or malformed structure hitting one of the
+    * reference-faithful fail-fast branches — the reference itself would
+    * simply crash there, `zhwiki_leafs.py:383`) would fail the stage
+    * after its 4 retries and take the whole crawl down. It becomes a
+    * quarantine row instead (doc=None, error=class+message), landing in
+    * the `leaf_failures` table — the parse-side twin of the media
+    * stage's status='failed' rows. StackOverflowError is deliberately
+    * caught at this per-page boundary: the stack is fully unwound by the
+    * time the handler runs, and the alternative is task death. */
   def fetchParse(store: PageStore, robots: RobotsPolicy)(
-      it: Iterator[(String, String)]): Iterator[DocRow] =
+      it: Iterator[(String, String)]): Iterator[ParseOut] =
     it.flatMap { case (url, title) =>
       val html = if (!robots.allowed(url)) None else store.fetch(url)
       html.flatMap { h =>
-        PageParser.parse(url, originOf(url), h).map { p =>
-          DocRow(url, title, url, p.enwikiUrl, p.pageHtml,
-            p.spans.map(s => SpanRow(s.kind, s.text, s.media_ref, s.offset)))
+        try {
+          PageParser.parse(url, originOf(url), h).map { p =>
+            ParseOut(url, title, "",
+              Some(DocRow(url, title, url, p.enwikiUrl, p.pageHtml,
+                p.spans.map(s => SpanRow(s.kind, s.text, s.media_ref, s.offset)))))
+          }
+        } catch {
+          case e: StackOverflowError => Some(ParseOut(url, title, errStr(e), None))
+          case scala.util.control.NonFatal(e) => Some(ParseOut(url, title, errStr(e), None))
         }
       }.iterator
     }
@@ -91,6 +117,12 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
     * frontier metrics table (north-star: per-partition fetch/parse
     * metrics). */
   val leafMetrics = new IceLite(spark, s"${cfg.workDir}/leaf_metrics")
+  /** Quarantined parse failures (url, title, error) — pages whose parse
+    * threw (see [[LeafPipeline.fetchParse]]). Kept out of `docs` so the
+    * crawled-check anti-join retries them on the next run if the parser
+    * is fixed; kept out of `leaf_metrics` so the metrics-sum ≡
+    * docs-count invariant is untouched. */
+  val leafFailures = new IceLite(spark, s"${cfg.workDir}/leaf_failures")
 
   private val nPart =
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
@@ -197,18 +229,27 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
       // persist: count + append must not re-run the fetch+parse stage
       val df = parsed.toDF().persist()
       // materialize via the per-partition metric pass (one job), like
-      // the frontier's fetch metrics
+      // the frontier's fetch metrics; parsed counts only successful
+      // docs so the metrics-sum ≡ docs-count invariant holds
       val metricRows = df
         .groupBy(spark_partition_id().as("partition"))
-        .agg(count(lit(1)).as("parsed"))
+        .agg(
+          sum(when(col("doc").isNotNull, 1L).otherwise(0L)).as("parsed"),
+          sum(when(col("doc").isNull, 1L).otherwise(0L)).as("failed"))
         .collect()
-        .map(r => (epoch, r.getInt(0), r.getLong(1)))
+        .map(r => (epoch, r.getInt(0), r.getLong(1), r.getLong(2)))
       val n = metricRows.map(_._3).sum
       if (n > 0) {
-        docs.append(df, s"leafs epoch=$epoch n=$n", coalesceTo = cfg.appendFiles)
-        leafMetrics.append(metricRows.toSeq.toDF("epoch", "partition", "parsed"),
+        docs.append(df.filter(col("doc").isNotNull).select("doc.*"),
+          s"leafs epoch=$epoch n=$n", coalesceTo = cfg.appendFiles)
+        leafMetrics.append(
+          metricRows.map(m => (m._1, m._2, m._3)).toSeq.toDF("epoch", "partition", "parsed"),
           s"leaf_metrics epoch=$epoch", coalesceTo = 1)
       }
+      val nFailed = metricRows.map(_._4).sum
+      if (nFailed > 0)
+        leafFailures.append(df.filter(col("doc").isNull).select("url", "title", "error"),
+          s"leaf_failures epoch=$epoch n=$nFailed", coalesceTo = 1)
       df.unpersist()
       parsedTotal += n
       start += epochSize

@@ -22,7 +22,15 @@ final case class WebSpec(
     articlesPerCat: Int = 4,
     nSeeds: Int = 2,
     withBlocked: Boolean = true,
-    robots: RobotsPolicy = RobotsPolicy.allowAll
+    robots: RobotsPolicy = RobotsPolicy.allowAll,
+    /** Categories forced to 404 regardless of the hash draw (lets a
+      * test build the "this page contributes nothing" oracle web). */
+    forcedMissingCats: Set[Int] = Set.empty,
+    /** Articles whose infobox carries a NavFrame with no NavHead — the
+      * reference-faithful fail-fast branch (`zhwiki_leafs.py:383`,
+      * InfoboxParser's unguarded `.get`) THROWS on these, standing in
+      * for the poisoned pages a real web crawl inevitably fetches. */
+    poisonArticles: Set[Int] = Set.empty
 ) extends Serializable
 
 object PageStore {
@@ -70,7 +78,8 @@ final class PageStore(val spec: WebSpec) extends Serializable {
   def catArticles(c: Int): Seq[Int] =
     (0 until spec.articlesPerCat).map(j => (c * spec.articlesPerCat + j) % spec.nArticles)
 
-  def isMissing(c: Int): Boolean = c != 0 && h(s"missing$c") % 17 == 0
+  def isMissing(c: Int): Boolean =
+    spec.forcedMissingCats(c) || (c != 0 && h(s"missing$c") % 17 == 0)
 
   def hasPagination(c: Int): Boolean = h(s"page$c") % 4 == 0
 
@@ -154,7 +163,15 @@ final class PageStore(val spec: WebSpec) extends Serializable {
       sb.append(s"""<a class="image" href="/wiki/File:Th${a}_2.jpg"><img src="//upload.graft/th2$a.png" alt="t2"/></a>""")
       sb.append(s"""<div class="thumbcaption">說明A$a</div></div>""")
     }
-    sb.append(infoboxHtml(a, v))
+    sb.append(
+      if (spec.poisonArticles(a))
+        // NavFrame with NO NavHead: InfoboxParser's reference-faithful
+        // unguarded .get throws here (`zhwiki_leafs.py:383`)
+        s"""<table class="infobox"><tbody>
+            <tr><th>毒A$a</th></tr>
+            <tr><td><div class="NavFrame"><ul><li>孤段</li></ul></div></td></tr>
+            </tbody></table>"""
+      else infoboxHtml(a, v))
     sb.append("</div>") // mw-parser-output
     // TOC (X3) — reference looks it up on the whole soup
     if (v % 2 == 1) {

@@ -12,6 +12,13 @@ import scala.collection.mutable.ArrayBuffer
   * tags, void elements (img/br/hr), text nodes, the five basic
   * entities. Not supported (generator never emits them): comments,
   * CDATA, unquoted attrs, implicit tag closing.
+  *
+  * Robustness (a real crawl fetches pages OUTSIDE the grammar): parse
+  * and every traversal are iterative — depth is never bounded by the
+  * JVM call stack — and malformed input has pinned total semantics
+  * (ScannerRobustnessSpec): any close tag closes exactly one open
+  * level, a close tag with nothing open truncates the rest, an
+  * unterminated `<tag` truncates, EOF closes every open element.
   */
 object HtmlScanner {
 
@@ -30,48 +37,74 @@ object HtmlScanner {
 
     def childElems: Vector[HElem] = children.collect { case e: HElem => e }
 
-    /** All text of the subtree, document order (BeautifulSoup get_text). */
+    /** All text of the subtree, document order (BeautifulSoup get_text).
+      * Iterative (explicit stack): traversal depth must not be bounded
+      * by the JVM call stack — a real crawl sees pathologically nested
+      * pages, and a StackOverflowError in a task kills the stage. */
     def text: String = {
       val sb = new StringBuilder
-      def rec(n: HNode): Unit = n match {
-        case HText(t)         => sb.append(t)
-        case HElem(_, _, cs)  => cs.foreach(rec)
+      val stack = new java.util.ArrayDeque[HNode]
+      stack.push(this)
+      while (!stack.isEmpty) {
+        stack.pop() match {
+          case HText(t) => sb.append(t)
+          case HElem(_, _, cs) =>
+            var j = cs.length - 1
+            while (j >= 0) { stack.push(cs(j)); j -= 1 }
+        }
       }
-      rec(this)
       sb.toString
     }
 
     /** Non-empty stripped text fragments in document order
-      * (BeautifulSoup stripped_strings). */
+      * (BeautifulSoup stripped_strings). Iterative — see [[text]]. */
     def strippedStrings: Vector[String] = {
       val out = ArrayBuffer.empty[String]
-      def rec(n: HNode): Unit = n match {
-        case HText(t) => val s = t.trim; if (s.nonEmpty) out += s
-        case HElem(_, _, cs) => cs.foreach(rec)
+      val stack = new java.util.ArrayDeque[HNode]
+      stack.push(this)
+      while (!stack.isEmpty) {
+        stack.pop() match {
+          case HText(t) => val s = t.trim; if (s.nonEmpty) out += s
+          case HElem(_, _, cs) =>
+            var j = cs.length - 1
+            while (j >= 0) { stack.push(cs(j)); j -= 1 }
+        }
       }
-      rec(this)
       out.toVector
     }
 
     /** First descendant element matching, depth-first document order
-      * (BeautifulSoup find). */
+      * (BeautifulSoup find). Iterative — see [[text]]. */
     def findFirst(p: HElem => Boolean): Option[HElem] = {
-      def rec(e: HElem): Option[HElem] = {
-        if (p(e)) Some(e)
-        else e.childElems.iterator.map(rec).collectFirst { case Some(x) => x }
+      val stack = new java.util.ArrayDeque[HElem]
+      val cs = childElems
+      var j = cs.length - 1
+      while (j >= 0) { stack.push(cs(j)); j -= 1 }
+      while (!stack.isEmpty) {
+        val e = stack.pop()
+        if (p(e)) return Some(e)
+        val ks = e.childElems
+        var i = ks.length - 1
+        while (i >= 0) { stack.push(ks(i)); i -= 1 }
       }
-      childElems.iterator.map(rec).collectFirst { case Some(x) => x }
+      None
     }
 
     /** All descendant elements matching, depth-first document order
-      * (BeautifulSoup find_all). */
+      * (BeautifulSoup find_all). Iterative — see [[text]]. */
     def findAll(p: HElem => Boolean): Vector[HElem] = {
       val out = ArrayBuffer.empty[HElem]
-      def rec(e: HElem): Unit = {
+      val stack = new java.util.ArrayDeque[HElem]
+      val cs = childElems
+      var j = cs.length - 1
+      while (j >= 0) { stack.push(cs(j)); j -= 1 }
+      while (!stack.isEmpty) {
+        val e = stack.pop()
         if (p(e)) out += e
-        e.childElems.foreach(rec)
+        val ks = e.childElems
+        var i = ks.length - 1
+        while (i >= 0) { stack.push(ks(i)); i -= 1 }
       }
-      childElems.foreach(rec)
       out.toVector
     }
 
@@ -145,47 +178,63 @@ object HtmlScanner {
       m.result()
     }
 
-    def parseNodes(closeTag: Option[String]): Vector[HNode] = {
-      val out = ArrayBuffer.empty[HNode]
-      while (i < n) {
-        val lt = html.indexOf('<', i)
-        if (lt == -1) {
-          if (i < n) out += HText(unescape(html.substring(i)))
-          i = n
-          return out.toVector
-        }
-        if (lt > i) out += HText(unescape(html.substring(i, lt)))
+    // Iterative tree build (explicit open-element stack): parse depth
+    // must not be bounded by the JVM call stack — a 10^10-page crawl
+    // WILL see pathologically nested documents, and a StackOverflowError
+    // in a task kills the stage after its retries. Semantics are
+    // byte-identical to the recursive original, including its quirks on
+    // malformed input: ANY close tag closes exactly one open level
+    // (mismatched names included); a close tag with nothing open
+    // truncates the rest of the document (the recursive root-level
+    // `return`); an unterminated `<tag` truncates; EOF closes every
+    // still-open element with its accumulated children.
+    val names = ArrayBuffer[String]("#root")
+    val attrsStack = ArrayBuffer[Map[String, String]](Map.empty)
+    val bufs = ArrayBuffer[ArrayBuffer[HNode]](ArrayBuffer.empty[HNode])
+
+    def closeTop(): Unit = {
+      val kids = bufs.remove(bufs.length - 1).toVector
+      val nm = names.remove(names.length - 1)
+      val at = attrsStack.remove(attrsStack.length - 1)
+      bufs(bufs.length - 1) += HElem(nm, at, kids)
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt == -1) {
+        bufs(bufs.length - 1) += HText(unescape(html.substring(i)))
+        i = n
+      } else {
+        if (lt > i) bufs(bufs.length - 1) += HText(unescape(html.substring(i, lt)))
         val gt = html.indexOf('>', lt)
-        if (gt == -1) { i = n; return out.toVector }
-        val inner = html.substring(lt + 1, gt)
-        if (inner.startsWith("/")) {
+        if (gt == -1) { i = n }
+        else {
+          val inner = html.substring(lt + 1, gt)
           i = gt + 1
-          val name = inner.substring(1).trim
-          if (closeTag.contains(name)) return out.toVector
-          // stray close tag for another level: treat as closing here too
-          // (generator never emits mismatched tags)
-          return out.toVector
-        } else {
-          val selfClosing = inner.endsWith("/")
-          val body = if (selfClosing) inner.dropRight(1) else inner
-          val sp = body.indexWhere(_.isWhitespace)
-          val name = (if (sp == -1) body else body.substring(0, sp)).toLowerCase
-          val attrEnd = if (selfClosing) gt - 1 else gt
-          val attrs =
-            if (sp == -1) Map.empty[String, String]
-            else parseAttrs(attrEnd, lt + 1 + sp)
-          i = gt + 1
-          if (selfClosing || voidTags(name)) {
-            out += HElem(name, attrs, Vector.empty)
+          if (inner.startsWith("/")) {
+            if (names.length > 1) closeTop()
+            else i = n // stray close at root: truncate, like the recursive return
           } else {
-            val kids = parseNodes(Some(name))
-            out += HElem(name, attrs, kids)
+            val selfClosing = inner.endsWith("/")
+            val body = if (selfClosing) inner.dropRight(1) else inner
+            val sp = body.indexWhere(_.isWhitespace)
+            val name = (if (sp == -1) body else body.substring(0, sp)).toLowerCase
+            val attrEnd = if (selfClosing) gt - 1 else gt
+            val attrs =
+              if (sp == -1) Map.empty[String, String]
+              else parseAttrs(attrEnd, lt + 1 + sp)
+            if (selfClosing || voidTags(name)) {
+              bufs(bufs.length - 1) += HElem(name, attrs, Vector.empty)
+            } else {
+              names += name
+              attrsStack += attrs
+              bufs += ArrayBuffer.empty[HNode]
+            }
           }
         }
       }
-      out.toVector
     }
-
-    HElem("#root", Map.empty, parseNodes(None))
+    while (names.length > 1) closeTop()
+    HElem("#root", Map.empty, bufs(0).toVector)
   }
 }

@@ -62,23 +62,33 @@ object PageParser {
   /** Serialize an element back to HTML (reference stores
     * `str(div.mw-parser-output)`, `zhwiki_leafs.py:133-136`). Attribute
     * order = insertion order of the restricted scanner. */
+  private val selfRendered = Set("img", "br", "hr")
+
   def render(e: HElem): String = {
+    // iterative (explicit stack, close tags as string markers): render
+    // depth must not be bounded by the JVM call stack — see
+    // HtmlScanner.parse for why (pathologically nested real pages)
     val sb = new StringBuilder
-    def rec(n: HNode): Unit = n match {
-      case HText(t) => sb.append(escape(t))
-      case el: HElem =>
-        sb.append('<').append(el.name)
-        el.attrs.foreach { case (k, v) =>
-          sb.append(' ').append(k).append("=\"").append(escape(v)).append('"')
-        }
-        if (el.children.isEmpty && Set("img", "br", "hr")(el.name)) sb.append("/>")
-        else {
-          sb.append('>')
-          el.children.foreach(rec)
-          sb.append("</").append(el.name).append('>')
-        }
+    val stack = new java.util.ArrayDeque[AnyRef]
+    stack.push(e)
+    while (!stack.isEmpty) {
+      stack.pop() match {
+        case HText(t) => sb.append(escape(t))
+        case el: HElem =>
+          sb.append('<').append(el.name)
+          el.attrs.foreach { case (k, v) =>
+            sb.append(' ').append(k).append("=\"").append(escape(v)).append('"')
+          }
+          if (el.children.isEmpty && selfRendered(el.name)) sb.append("/>")
+          else {
+            sb.append('>')
+            stack.push("</" + el.name + ">")
+            var j = el.children.length - 1
+            while (j >= 0) { stack.push(el.children(j)); j -= 1 }
+          }
+        case s: String => sb.append(s)
+      }
     }
-    rec(e)
     sb.toString
   }
 
