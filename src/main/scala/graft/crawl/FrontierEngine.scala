@@ -123,7 +123,16 @@ final case class CrawlConfig(
     // extraction is FORCED to throw, exercising the extract-failure
     // quarantine path end-to-end (CategoryExtractor itself is total on
     // any input, so a drill needs the fault injected at the seam).
-    chaosExtractFail: Set[String] = Set.empty
+    chaosExtractFail: Set[String] = Set.empty,
+    // quarantine-storm guard: per-page quarantine exists for the rare
+    // poisoned document, but a SYSTEMIC parser bug (bad deploy, format
+    // change upstream) would quarantine the whole web and let the crawl
+    // "succeed" with zero links. A superstep / leaf epoch ABORTS when
+    // more than maxQuarantineFrac of its parsed pages threw AND at
+    // least quarantineMinFails threw — the floor keeps small batches
+    // from tripping on a handful of genuinely poisoned pages.
+    maxQuarantineFrac: Double = 0.5,
+    quarantineMinFails: Long = 100
 )
 
 object FrontierEngine {
@@ -619,11 +628,20 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // quarantined extract failures (see extractLinks): out of the link
     // flow, into their own table — the page acts like a 404
     val xFails = linksAll.filter(col("section") === "extract_failed")
-    if (phase(k, "extract-fail count") { xFails.count() } > 0) {
+    val nXFails = phase(k, "extract-fail count") { xFails.count() }
+    if (nXFails > 0) {
       appendOnce(extractFailures, s"extract_failures k=$k",
         xFails.select(col("pre_url").as("url"), col("title").as("error"))
           .withColumn("superstep", lit(k)),
         coalesceTo = 1)
+      // storm guard: failures table is already appended (audit trail
+      // survives the abort), denominator = pages that HAD html to parse
+      val htmlPages = nFetched - metricRows.map(_._4).sum
+      if (nXFails >= cfg.quarantineMinFails && htmlPages > 0 &&
+          nXFails.toDouble / htmlPages > cfg.maxQuarantineFrac)
+        throw new IllegalStateException(
+          s"quarantine storm: $nXFails of $htmlPages extracts threw in " +
+            s"superstep $k — systemic parser failure, not poisoned pages")
     }
     val links = linksAll.filter(col("section") =!= "extract_failed")
 

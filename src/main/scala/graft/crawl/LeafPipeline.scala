@@ -251,6 +251,13 @@ final class LeafPipeline(spark: SparkSession, store: PageStore, cfg: CrawlConfig
         leafFailures.append(df.filter(col("doc").isNull).select("url", "title", "error"),
           s"leaf_failures epoch=$epoch n=$nFailed", coalesceTo = 1)
       df.unpersist()
+      // storm guard (see CrawlConfig.maxQuarantineFrac): failures are
+      // already committed above, so the audit trail survives the abort
+      if (nFailed >= cfg.quarantineMinFails && (n + nFailed) > 0 &&
+          nFailed.toDouble / (n + nFailed) > cfg.maxQuarantineFrac)
+        throw new IllegalStateException(
+          s"quarantine storm: $nFailed of ${n + nFailed} parses threw in " +
+            s"epoch $epoch — systemic parser failure, not poisoned pages")
       parsedTotal += n
       start += epochSize
       epoch += 1

@@ -92,4 +92,47 @@ class QuarantineSpec extends SparkSpec {
     assert(xf.map(_._1).toSeq == Seq(poisonUrl))
     assert(xf.head._2.contains("chaos: forced extract failure"))
   }
+
+  test("storm guard: a systemic leaf-parse failure aborts the epoch loudly") {
+    // 7 of 8 articles poisoned = an 87% failure rate — that is a broken
+    // parser, not poisoned pages; with the guard floor lowered to test
+    // scale the epoch must abort AFTER committing the audit trail
+    val spec = WebSpec(nCats = 2, nArticles = 8,
+      poisonArticles = (1 until 8).toSet)
+    val store = new PageStore(spec)
+    val cfg = CrawlConfig(workDir = tmpDir("leafstorm"), useBloom = false,
+      quarantineMinFails = 2)
+    val lp = new LeafPipeline(spark, store, cfg)
+    val work = (0 until spec.nArticles)
+      .map(a => (store.articleUrl(0, a), store.articleTitle(a)))
+      .toDF("url", "title")
+    val ex = intercept[IllegalStateException] { lp.run(work) }
+    assert(ex.getMessage.contains("quarantine storm"))
+    // audit trail survives the abort
+    assert(lp.leafFailures.read().count() == 7L)
+  }
+
+  test("storm guard: frontier aborts when most extracts throw; floor holds small cases back") {
+    val base = WebSpec(nCats = 10, nArticles = 20)
+    val store = new PageStore(base)
+    // poison BOTH seeds: superstep 0 fails every fetchable extract
+    // (a seed can be a deterministic 404, so floor at 1 for test scale)
+    val allSeeds = store.seeds.map(_._1).toSet
+    val fetchableSeeds = allSeeds.count(u => store.fetch(u).isDefined)
+    assert(fetchableSeeds >= 1)
+    val stormCfg = CrawlConfig(workDir = tmpDir("xstorm"), useBloom = false,
+      chaosExtractFail = allSeeds, quarantineMinFails = 1)
+    val ex = intercept[IllegalStateException] {
+      new FrontierEngine(spark, store, stormCfg).run()
+    }
+    assert(ex.getMessage.contains("quarantine storm"))
+
+    // same poison under the DEFAULT floor (100): guard must NOT trip —
+    // the crawl completes, both seed pages contributing zero links
+    val calmCfg = CrawlConfig(workDir = tmpDir("xcalm"), useBloom = false,
+      chaosExtractFail = allSeeds)
+    val engine = new FrontierEngine(spark, store, calmCfg)
+    engine.run()
+    assert(engine.extractFailures.read().count() == fetchableSeeds.toLong)
+  }
 }
