@@ -78,6 +78,12 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("lang"),
           Map("en" -> 50, "zh" -> 20), defaultPct = 5)
         .select("doc_id", "lang")),
+    "q_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(documents(s, d),
+          org.apache.spark.sql.functions.col("lang"),
+          Map("en" -> 0.4, "zh" -> 0.3, "fr" -> 0.2, "de" -> 0.1),
+          org.apache.spark.sql.functions.col("n_chars"))
+        .select("doc_id", "lang", "n_chars")),
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
@@ -422,6 +428,24 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 <
                CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 5 END""",
+    "q_mixture_sample" ->
+      """WITH tot AS (
+           SELECT lang AS d, SUM(n_chars) AS toks FROM documents GROUP BY 1
+         ),
+         tgt(d, f) AS (VALUES ('en', 0.4), ('zh', 0.3), ('fr', 0.2), ('de', 0.1)),
+         b AS (
+           SELECT MIN(toks / f) AS budget FROM tot JOIN tgt USING (d)
+           WHERE f > 0 AND toks > 0
+         ),
+         r AS (
+           SELECT d,
+                  CAST(FLOOR(LEAST(1.0, f * budget / toks) * 1000000) AS BIGINT) AS thr
+           FROM tot JOIN tgt USING (d) CROSS JOIN b
+           WHERE f > 0 AND toks > 0
+         )
+         SELECT doc_id, lang, n_chars
+         FROM documents JOIN r ON r.d = lang
+         WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000000) < r.thr""",
     "q_pack_sequences" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -50,6 +50,55 @@ object Sampling {
     documents.filter(hashBucket(col("doc_id")) < pct)
   }
 
+  /** Finer 0..999999 bucket for fractional keep-rates
+    * ([[mixtureSample]] needs resolution [[hashBucket]]'s 100 can't
+    * give): first 24 bits of md5, mod 10^6 — the same engine-portable
+    * md5 family (`('0x' || substr(md5(id),1,6))::BIGINT % 1000000` in
+    * the DuckDB oracle). */
+  def hashBucketPpm(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 1000000L
+
+  /** Per-domain keep-rates for a token-budget MIXTURE — the
+    * corpus-mixing step of a pretraining data recipe (Pile/DoReMi-style
+    * static mixtures): hit target token FRACTIONS per domain (40% en /
+    * 30% zh / …) by deterministic downsampling. The output budget is
+    * the largest achievable WITHOUT upsampling (a deterministic
+    * hash sampler can only drop): budget = min over target domains of
+    * tokens_d / frac_d, so the binding domain keeps rate 1.0 and every
+    * other domain downsamples to match its fraction. Domains outside
+    * the target map are dropped. The per-domain totals agg is the only
+    * job — #domains result rows of driver metadata (like the IVF pivot
+    * collect), never data rows; at 100 TB it is one partial-aggregated
+    * shuffle of a handful of rows. Every arithmetic step (double
+    * division, multiply, min) is written to evaluate identically in
+    * the DuckDB oracle's CTE — see SparkEntry's q_mixture_sample SQL. */
+  def mixtureKeepRates(documents: DataFrame, domain: Column,
+      targetFrac: Map[String, Double], tokenCost: Column): Map[String, Double] = {
+    val totals = documents.groupBy(domain.as("d"))
+      .agg(sum(tokenCost.cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = targetFrac.filter { case (d, f) => f > 0 && totals.getOrElse(d, 0L) > 0L }
+    require(live.nonEmpty, "no target domain present in the corpus")
+    val budget = live.map { case (d, f) => totals(d) / f }.min
+    live.map { case (d, f) => d -> math.min(1.0, f * budget / totals(d)) }
+  }
+
+  /** Deterministic mixture sample: keep a doc iff its ppm bucket clears
+    * its domain's keep-rate threshold (floor(rate × 10^6)); non-target
+    * domains get threshold −1 and drop. Scan-side filter after the one
+    * tiny rates agg; same md5 family as [[hashSample]], so the kept set
+    * is stable under corpus growth for any domain whose rate does not
+    * shrink. */
+  def mixtureSample(documents: DataFrame, domain: Column,
+      targetFrac: Map[String, Double], tokenCost: Column): DataFrame = {
+    val ppm = mixtureKeepRates(documents, domain, targetFrac, tokenCost)
+      .map { case (d, r) => d -> math.floor(r * 1000000.0).toLong }
+    val thr = ppm.foldLeft(lit(-1L)) {
+      case (acc, (k, v)) => when(domain === k, lit(v)).otherwise(acc)
+    }
+    documents.filter(hashBucketPpm(col("doc_id")) < thr)
+  }
+
   /** Deterministic sequence PACKING for pretraining batches: documents
     * are routed to `nShards` shards by doc_id hash, laid out in
     * doc_id order within each shard, and assigned the bin where their

@@ -141,6 +141,51 @@ class DedupGraphSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample: achieved token mix ≈ target, binding domain whole, scalar-oracle exact") {
+    // skewed corpus: en-heavy so the mixture must downsample en hard
+    val docs = (0L until 6000L).map { i =>
+      val lang =
+        if (i % 6 < 3) "en" else if (i % 6 < 4) "zh"
+        else if (i % 6 < 5) "fr" else "es"
+      (i, lang, i % 91 + 10) // deterministic sizes 10..100
+    }.toDF("doc_id", "lang", "n_chars")
+    val target = Map("en" -> 0.4, "zh" -> 0.3, "fr" -> 0.3)
+    val kept = Sampling.mixtureSample(docs, col("lang"), target, col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // a domain outside the target map is dropped entirely
+    assert(!kept.exists(_._2 == "es"))
+
+    // scalar oracle: recompute rates + md5-ppm bucket per doc in plain
+    // Scala (independent of both Catalyst and the DuckDB oracle)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val budget = target.map { case (d, f) => totals(d) / f }.min
+    val thr = target.map { case (d, f) =>
+      d -> math.floor(math.min(1.0, f * budget / totals(d)) * 1000000.0).toLong }
+    def ppm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(3).map(b => f"$b%02x").mkString, 16) % 1000000L
+    }
+    val expect = rows.filter(r => thr.get(r._2).exists(ppm(r._1) < _)).toSet
+    assert(kept.toSet == expect)
+
+    // the binding domain (rate 1.0, the one that sets the budget) is
+    // kept in full — the no-upsampling guarantee
+    val binding = target.minBy { case (d, f) => totals(d) / f }._1
+    assert(kept.count(_._2 == binding) == rows.count(_._2 == binding))
+
+    // achieved token fractions land on the target within hash-sampling
+    // noise (~1000+ docs per domain)
+    val keptToks = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val tot = keptToks.values.sum
+    target.foreach { case (d, f) =>
+      assert(math.abs(keptToks(d) / tot - f) < 0.04,
+        s"$d achieved ${keptToks(d) / tot}, target $f")
+    }
+  }
+
   test("hashSample: subset-monotone nested rungs") {
     val docs = (0L until 2000L).toDF("doc_id")
     def ids(pct: Int): Set[Long] =
