@@ -84,6 +84,13 @@ object SparkEntry {
           Map("en" -> 0.4, "zh" -> 0.3, "fr" -> 0.2, "de" -> 0.1),
           org.apache.spark.sql.functions.col("n_chars"))
         .select("doc_id", "lang", "n_chars")),
+    "q_mixture_epochs" -> ((s, d) =>
+      Sampling.mixtureEpochs(documents(s, d),
+          org.apache.spark.sql.functions.col("lang"),
+          Map("en" -> 0.3, "zh" -> 0.5, "fr" -> 0.2),
+          org.apache.spark.sql.functions.col("n_chars"),
+          budgetTokens = 200000.0)
+        .select("doc_id", "lang", "n_chars", "epoch")),
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
@@ -446,6 +453,28 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars
          FROM documents JOIN r ON r.d = lang
          WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000000) < r.thr""",
+    "q_mixture_epochs" ->
+      """WITH tot AS (
+           SELECT lang AS d, SUM(n_chars) AS toks FROM documents GROUP BY 1
+         ),
+         tgt(d, f) AS (VALUES ('en', 0.3), ('zh', 0.5), ('fr', 0.2)),
+         r AS (
+           SELECT d,
+                  CAST(FLOOR(f * 200000 / toks) AS BIGINT) AS nfull,
+                  CAST(FLOOR((f * 200000 / toks - FLOOR(f * 200000 / toks))
+                             * 1000000) AS BIGINT) AS fppm
+           FROM tot JOIN tgt USING (d) WHERE f > 0 AND toks > 0
+         ),
+         c AS (
+           SELECT doc_id, lang, n_chars,
+                  nfull + CASE
+                    WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                          % 1000000) < fppm
+                    THEN 1 ELSE 0 END AS n_copies
+           FROM documents JOIN r ON r.d = lang
+         )
+         SELECT doc_id, lang, n_chars, unnest(range(0, n_copies)) AS epoch
+         FROM c WHERE n_copies > 0""",
     "q_pack_sequences" ->
       s"""WITH t AS (
             SELECT doc_id,

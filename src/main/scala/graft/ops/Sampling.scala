@@ -99,6 +99,46 @@ object Sampling {
     documents.filter(hashBucketPpm(col("doc_id")) < thr)
   }
 
+  /** Epoch-weighted mixture at a CALLER-CHOSEN token budget — the
+    * upsampling half of corpus mixing ([[mixtureSample]] can only
+    * drop): rate_d = frac_d × budget / tokens_d may exceed 1, meaning
+    * the domain is seen more than one epoch (GPT-3/Pile-style
+    * "Wikipedia × 3.4 epochs"). A doc contributes floor(rate) full
+    * copies plus one more iff its ppm bucket clears the fractional
+    * part — so expected tokens per domain = frac_d × budget exactly,
+    * deterministically, with every copy tagged by an `epoch` column
+    * (0-based) so downstream packing/shuffling can spread repeats.
+    * Scan-side: the one tiny totals agg, then project + explode —
+    * zero data shuffle at 100 TB. Non-target domains drop. */
+  def mixtureEpochs(documents: DataFrame, domain: Column,
+      targetFrac: Map[String, Double], tokenCost: Column,
+      budgetTokens: Double): DataFrame = {
+    val totals = documents.groupBy(domain.as("d"))
+      .agg(sum(tokenCost.cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = targetFrac.collect {
+      case (d, f) if f > 0 && totals.getOrElse(d, 0L) > 0L =>
+        d -> f * budgetTokens / totals(d)
+    }
+    require(rates.nonEmpty, "no target domain present in the corpus")
+    val full = rates.map { case (d, r) => d -> math.floor(r).toLong }
+    val fracPpm = rates.map { case (d, r) =>
+      d -> math.floor((r - math.floor(r)) * 1000000.0).toLong }
+    def whenChain(m: Map[String, Long], default: Long): Column =
+      m.foldLeft(lit(default)) {
+        case (acc, (k, v)) => when(domain === k, lit(v)).otherwise(acc)
+      }
+    documents
+      .withColumn("n_copies",
+        whenChain(full, -1L) +
+          when(hashBucketPpm(col("doc_id")) < whenChain(fracPpm, 0L), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("*") +: Seq(
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch")): _*)
+      .drop("n_copies")
+  }
+
   /** Deterministic sequence PACKING for pretraining batches: documents
     * are routed to `nShards` shards by doc_id hash, laid out in
     * doc_id order within each shard, and assigned the bin where their

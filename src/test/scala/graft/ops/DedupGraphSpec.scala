@@ -186,6 +186,51 @@ class DedupGraphSpec extends SparkSpec {
     }
   }
 
+  test("mixtureEpochs: fractional epochs up- AND down-sample, scalar-oracle exact") {
+    val docs = (0L until 6000L).map { i =>
+      val lang =
+        if (i % 6 < 3) "en" else if (i % 6 < 4) "zh"
+        else if (i % 6 < 5) "fr" else "es"
+      (i, lang, i % 91 + 10)
+    }.toDF("doc_id", "lang", "n_chars")
+    val target = Map("en" -> 0.3, "zh" -> 0.5, "fr" -> 0.2)
+    val budget = 500000.0 // en rate <1 (downsample), zh ≈4.5, fr ≈1.8 (upsample)
+    val out = Sampling.mixtureEpochs(docs, col("lang"), target, col("n_chars"), budget)
+      .select("doc_id", "lang", "n_chars", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    assert(!out.exists(_._2 == "es"))
+
+    // scalar oracle: same copy rule in plain Scala
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val rates = target.map { case (d, f) => d -> f * budget / totals(d) }
+    def ppm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(3).map(b => f"$b%02x").mkString, 16) % 1000000L
+    }
+    val expect = rows.flatMap { case (id, d, n) =>
+      rates.get(d).toSeq.flatMap { r =>
+        val nFull = math.floor(r).toLong
+        val fppm = math.floor((r - math.floor(r)) * 1000000.0).toLong
+        val copies = nFull + (if (ppm(id) < fppm) 1L else 0L)
+        (0L until copies).map(e => (id, d, n, e))
+      }
+    }
+    assert(out.sorted.toSeq == expect.sorted.toSeq)
+
+    // the upsampled domain really repeats: zh has epoch ≥ 4 rows
+    assert(out.exists(r => r._2 == "zh" && r._4 >= 4))
+    // achieved tokens per domain land on frac × budget (fractional-copy
+    // sampling is the only noise source)
+    val got = out.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    target.foreach { case (d, f) =>
+      assert(math.abs(got(d) / (f * budget) - 1.0) < 0.05,
+        s"$d achieved ${got(d)}, want ${f * budget}")
+    }
+  }
+
   test("hashSample: subset-monotone nested rungs") {
     val docs = (0L until 2000L).toDF("doc_id")
     def ids(pct: Int): Set[Long] =
