@@ -91,6 +91,11 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("n_chars"),
           budgetTokens = 200000.0)
         .select("doc_id", "lang", "n_chars", "epoch")),
+    "q_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(documents(s, d).select("doc_id"),
+          org.apache.spark.sql.functions.col("doc_id"), nShards = 8,
+          seed = "epoch0")
+        .select("doc_id", "shard", "pos")),
     "q_pack_sequences" -> ((s, d) => Sampling.packSequences(documents(s, d))),
     "text_decontaminate" -> ((s, d) => CorpusPipeline.decontaminate(documents(s, d))),
     "corpus_build" -> ((s, d) => CorpusPipeline.corpusBuild(documents(s, d))),
@@ -475,6 +480,18 @@ object SparkEntry {
          )
          SELECT doc_id, lang, n_chars, unnest(range(0, n_copies)) AS epoch
          FROM c WHERE n_copies > 0""",
+    "q_shuffle_shards" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  md5('epoch0' || '|' || doc_id::VARCHAR) AS sk
+           FROM documents
+         )
+         SELECT doc_id,
+                (('0x' || substr(sk, 1, 4))::INT % 8) AS shard,
+                ROW_NUMBER() OVER (
+                  PARTITION BY (('0x' || substr(sk, 1, 4))::INT % 8)
+                  ORDER BY sk) - 1 AS pos
+         FROM s""",
     "q_pack_sequences" ->
       s"""WITH t AS (
             SELECT doc_id,

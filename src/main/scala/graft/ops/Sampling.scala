@@ -139,6 +139,30 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Deterministic training-order SHUFFLE — the step between packing
+    * and writing: route each record to one of nShards writer shards by
+    * a seeded md5 of its key, and give it a dense 0-based position
+    * within the shard in seeded-hash order. This is the standard
+    * "globally shuffled training files" layout: shard assignment is
+    * itself pseudo-random, each shard is internally shuffled, and a
+    * reader streaming shard files in position order sees a reproducible
+    * pseudo-random epoch order. Changing `seed` reshuffles (per-epoch
+    * orders); fixing it reproduces the order across runs, partitionings
+    * and cluster sizes. Scale: one exchange on shard + a per-shard
+    * window — no global sort, no single-partition window, same shape as
+    * [[packBy]]. */
+  def shuffleShards(records: DataFrame, key: Column, nShards: Int,
+      seed: String): DataFrame = {
+    val h = md5(concat_ws("|", lit(seed), key.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("shuffle_key")
+    records
+      .withColumn("shuffle_key", h)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("int") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Deterministic sequence PACKING for pretraining batches: documents
     * are routed to `nShards` shards by doc_id hash, laid out in
     * doc_id order within each shard, and assigned the bin where their

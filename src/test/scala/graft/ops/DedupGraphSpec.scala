@@ -231,6 +231,31 @@ class DedupGraphSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards: dense per-shard positions, seed-reproducible, actually shuffled") {
+    val docs = (0L until 4000L).toDF("doc_id")
+    def run(seed: String, parts: Int) =
+      Sampling.shuffleShards(docs.repartition(parts), col("doc_id"), 8, seed)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    val a = run("epoch0", 4)
+    // nothing lost, nothing duplicated
+    assert(a.map(_._1).sorted.toSeq == (0L until 4000L))
+    // positions dense from 0 within every shard
+    a.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length), s"shard $s")
+    }
+    // partitioning-invariant for a fixed seed
+    assert(run("epoch0", 17).sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
+    // a different seed produces a different permutation
+    assert(run("epoch1", 4).sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+    // actually shuffled: reading a shard in position order is nowhere
+    // near doc_id order (count adjacent ascending pairs ≈ 50%)
+    val byPos = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    val asc = byPos.sliding(2).count(p => p(1) > p(0)).toDouble / (byPos.length - 1)
+    assert(asc > 0.4 && asc < 0.6, s"ascending-pair fraction $asc")
+  }
+
   test("hashSample: subset-monotone nested rungs") {
     val docs = (0L until 2000L).toDF("doc_id")
     def ids(pct: Int): Set[Long] =
