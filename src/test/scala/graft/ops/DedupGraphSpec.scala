@@ -256,6 +256,31 @@ class DedupGraphSpec extends SparkSpec {
     assert(asc > 0.4 && asc < 0.6, s"ascending-pair fraction $asc")
   }
 
+  test("pack then shuffle composes: every bin written exactly once, order seed-stable") {
+    // the training-file writer's actual pipeline: pack docs into bins,
+    // then shuffle the BINS into writer shards
+    val docs = (0L until 600L)
+      .map(i => (i, Seq.fill((i % 23 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bins = Sampling.packSequences(docs, maxTokens = 64, nShards = 4)
+      .select(col("shard").as("pack_shard"), col("bin")).distinct()
+      .withColumn("bin_key", concat_ws(":", col("pack_shard"), col("bin")))
+    val shuffled = Sampling.shuffleShards(bins, col("bin_key"), nShards = 4, seed = "e0")
+      .select("bin_key", "shard", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // every bin lands exactly once
+    assert(shuffled.map(_._1).distinct.length == shuffled.length)
+    assert(shuffled.length == bins.count())
+    // dense positions per writer shard, and the layout is seed-stable
+    shuffled.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length))
+    }
+    val again = Sampling.shuffleShards(bins.repartition(7), col("bin_key"), 4, "e0")
+      .select("bin_key", "shard", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == shuffled.sortBy(_._1).toSeq)
+  }
+
   test("hashSample: subset-monotone nested rungs") {
     val docs = (0L until 2000L).toDF("doc_id")
     def ids(pct: Int): Set[Long] =
