@@ -34,11 +34,31 @@ object TextKernels {
     seen.toArray
   }
 
+  /** Thread-local digest: `MessageDigest.getInstance` does a provider
+    * lookup per call, and the md5 kernels run it once per shingle /
+    * feature — tens of millions of times per query at bench scale.
+    * One instance per task thread, `reset()` between uses. */
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // manual nibble→char expansion: the previous f"${b}%02x" built a
+    // java.util.Formatter PER BYTE (32 per hash) and dominated the
+    // digest itself ~5× in profiles
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** 31-bit shingle hash: first 15 hex digits of md5, masked — equal to
