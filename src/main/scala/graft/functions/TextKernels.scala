@@ -22,8 +22,11 @@ object TextKernels {
 
   /** Distinct 3-word shingles in first-occurrence order (matches
     * array_distinct over the positional shingle array). */
-  def shingles3(text: String): Array[String] = {
-    val w = words(text)
+  def shingles3(text: String): Array[String] = shingles3Of(words(text))
+
+  /** As [[shingles3]] over an already-tokenized document (lets fused
+    * kernels tokenize once). */
+  def shingles3Of(w: Array[String]): Array[String] = {
     if (w.length < 3) return Array.empty
     val seen = collection.mutable.LinkedHashSet.empty[String]
     var i = 0
@@ -65,6 +68,91 @@ object TextKernels {
     * `conv(substring(md5(s),1,15),16,10) & 0x7fffffff`. */
   def shingleHash31(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16) & 0x7fffffffL
+
+  /** Uniform 0..99 bucket: first 16 bits of md5(s) mod 100 — equal to
+    * `Sampling.hashBucket` (`conv(substr(md5(s),1,4),16,10)::int % 100`). */
+  def md5Bucket100(s: String): Int = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 100
+  }
+
+  /** Positional (non-distinct) `n`-word-gram md5s of a document — the
+    * scan-side key stream of dupSpanFraction. One tokenization pass;
+    * the declarative `transform(sequence..., i -> md5(array_join(
+    * slice(w,i,n))))` form re-inlines `w = split(text)` per position
+    * (no CSE inside lambdas) and is quadratic per document. */
+  def gramMd5s(text: String, n: Int): Array[String] = {
+    val w = words(text)
+    if (w.length < n) return Array.empty
+    val sb = new java.lang.StringBuilder
+    Array.tabulate(w.length - (n - 1)) { i =>
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      md5Hex(sb.toString)
+    }
+  }
+
+  /** Per-document 64-bit SimHash signed bit sums over DISTINCT tokens
+    * (order-free: the sums commute) — bit i of a token is bit (3−i%4)
+    * of hex digit i/4 of md5(token), i.e. bit (7−i%8) of digest byte
+    * i/8. Replaces the explode→groupBy(64 conditional sums) plan with
+    * a zero-shuffle scan-side pass; sums are integer so the result is
+    * exactly the old aggregate's. */
+  def simhashSums(text: String): Array[Int] = {
+    val sums = new Array[Int](64)
+    val seen = collection.mutable.HashSet.empty[String]
+    val md = md5Local.get()
+    words(text).foreach { t =>
+      if (seen.add(t)) {
+        md.reset()
+        val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
+        var i = 0
+        while (i < 64) {
+          if (((d(i >> 3) >> (7 - (i & 7))) & 1) == 1) sums(i) += 1
+          else sums(i) -= 1
+          i += 1
+        }
+      }
+    }
+    sums
+  }
+
+  /** SimHash sums → 16-char hex string: hex digit j packs bits 4j..4j+3,
+    * bit = 1 iff its sum is > 0 (ties → 0, matching `when(b > 0, ...)`). */
+  def simhashHex(sums: Array[Int]): String = {
+    val out = new Array[Char](16)
+    var j = 0
+    while (j < 16) {
+      var v = 0
+      var b = 0
+      while (b < 4) {
+        if (sums(4 * j + b) > 0) v |= 1 << (3 - b)
+        b += 1
+      }
+      out(j) = HexChars(v)
+      j += 1
+    }
+    new String(out)
+  }
+
+  /** SimHash sums → 64-bit signature (bit 63−i set iff sums(i) > 0 —
+    * the same fixed bijection simhashLong always used). */
+  def simhashSig(sums: Array[Int]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) sig |= 1L << (63 - i)
+      i += 1
+    }
+    sig
+  }
 
   /** Winnowing fingerprint: positional (non-distinct) 3-word shingle
     * md5s → window-of-4 minima → sorted distinct minima → one md5 over

@@ -58,13 +58,58 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
 
+  /** The benchmark slice's distinct shingles as a task-shareable hash
+    * set (r6). This is the BUILD SIDE of every contamination probe —
+    * the same bytes the previous BroadcastExchange already collected to
+    * the driver and shipped to every executor, minus the join
+    * machinery: a benchmark suite is bounded metadata (10^5-10^7
+    * n-grams) by design, never corpus-sized. Computed with the typed
+    * shingle kernel (the declarative shingles3 lambda re-inlines
+    * split(text) per position — quadratic per doc). */
+  def benchShingleSet(documents: DataFrame, benchPct: Int): java.util.HashSet[String] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val set = new java.util.HashSet[String]()
+    documents.filter(isBenchmark(benchPct))
+      .select(col("text")).as[String]
+      .mapPartitions(_.flatMap(graft.functions.TextKernels.shingles3))
+      .distinct()
+      .collect()
+      .foreach(s => { set.add(s); () })
+    set
+  }
+
   /** Benchmark decontamination over one table: flag every
     * non-benchmark document that shares ≥ `minHits` 3-word shingles
-    * with any benchmark document. */
+    * with any benchmark document.
+    *
+    * r6 plan: ONE scan-side kernel pass — each doc's distinct shingles
+    * are probed against the broadcast bench set in the same
+    * tokenization pass. The previous shape (explode every shingle →
+    * broadcast hash join → groupBy(doc_id)) shuffled the hit rows and
+    * paid the quadratic declarative shingle lambda; output is
+    * identical (the hash-set probe IS the broadcast join's build-side
+    * lookup, and shingles3 is per-doc distinct so the hit count is the
+    * same distinct count). */
   def decontaminate(documents: DataFrame, benchPct: Int = 2,
-      minHits: Long = 1): DataFrame =
-    contaminationHits(documents.filter(!isBenchmark(benchPct)),
-      benchShingles(documents, benchPct), minHits)
+      minHits: Long = 1): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bench = spark.sparkContext.broadcast(benchShingleSet(documents, benchPct))
+    val needed = math.max(1L, minHits) // the old inner join implied ≥ 1 hit
+    documents.filter(!isBenchmark(benchPct))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bench.value
+        it.flatMap { case (id, t) =>
+          var hits = 0L
+          graft.functions.TextKernels.shingles3(t)
+            .foreach(s => if (set.contains(s)) hits += 1)
+          if (hits >= needed) Iterator.single((id, hits)) else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "n_hits")
+  }
 
   /** RATIO-based contamination for the corpus build: a doc is flagged
     * when ≥ `ratio` of its own distinct shingles appear in the
@@ -113,40 +158,62 @@ object CorpusPipeline {
       trainPct: Int = 90, valPct: Int = 5,
       contamRatio: Double = 0.5,
       probeKeepersOnly: Boolean = false): DataFrame = {
-    val toks = TextDedup.tokens(col("text"))
-    val filtered = documents
-      .filter(!isBenchmark(benchPct))
-      .filter(size(toks) >= minTokens)
-      .filter(TextAnalysis.qualityScore(toks) >= minQuality)
-      .filter(TextAnalysis.bestLang(toks).getField("lang").isin(langs: _*))
-    val deduped = filtered
+    // r6 FUSED PIPELINE: steps 1-3 and 5 collapse into ONE typed
+    // scan-side pass. The previous plan scanned `documents` three times
+    // (gates for the dedup branch, gates AGAIN for the probe branch,
+    // bench slice), ran the gate expressions through interpreted
+    // higher-order functions that re-evaluate split(text) per gate, and
+    // exploded every surviving doc's shingles into a broadcast join +
+    // groupBy. Here each doc is tokenized ONCE; bucket/gates/text-hash/
+    // contamination all come out of that pass, and the bench-shingle
+    // set is probed as a broadcast hash set (identical bytes to the old
+    // BroadcastExchange build side). The dedup window stays the
+    // pipeline's single corpus-sized exchange. Output is identical:
+    // every duplicate shares its keeper's text, so the keeper's OWN
+    // contamination flag is exactly the old anti-join's decision —
+    // which also makes `probeKeepersOnly` moot (kept for source
+    // compatibility; the per-duplicate probe it traded against is now
+    // one hash-set lookup per shingle inside the same scan).
+    val _ = probeKeepersOnly
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bench = spark.sparkContext.broadcast(benchShingleSet(documents, benchPct))
+    val benchLo = 100 - benchPct
+    val langSet = langs.toSet
+    val gated = documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bench.value
+        it.flatMap { case (id, t) =>
+          val bucket = graft.functions.TextKernels.md5Bucket100(id.toString)
+          if (bucket >= benchLo) Iterator.empty
+          else {
+            val w = graft.functions.TextKernels.words(t)
+            // NaN quality (empty doc) fails the ≥ gate, like the Column form
+            if (w.length < minTokens ||
+                !(TextAnalysis.qualityKernel(w) >= minQuality) ||
+                !langSet.contains(TextAnalysis.bestLangKernel(w)._1))
+              Iterator.empty
+            else {
+              val sh = graft.functions.TextKernels.shingles3Of(w)
+              var hits = 0
+              sh.foreach(s => if (set.contains(s)) hits += 1)
+              // the old inner join implied ≥ 1 hit before the ratio test
+              val contaminated = hits > 0 && hits >= sh.length * contamRatio
+              Iterator.single(
+                (id, graft.functions.TextKernels.md5Hex(t), bucket, contaminated))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "text_hash", "bucket", "contaminated")
+    gated
       .withColumn("__keep",
-        min("doc_id").over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("__keep"))
-    // The probe side is a semantics-free choice: flags are consumed via
-    // a left_anti on `deduped`, and every duplicate shares its keeper's
-    // text (hence its flag), so probing `filtered` or `deduped` yields
-    // the identical output. The COST differs, both ways:
-    //   - probing `filtered` keeps the probe branch scan-side (gates
-    //     collapse into the parquet read; no dependency on the dedup
-    //     exchange) but pays the shingle explode + broadcast probe once
-    //     per duplicate;
-    //   - probing `deduped` skips duplicate probes but re-traverses the
-    //     corpus-sized dedup window in the probe branch (the exchange
-    //     is reused, the sort + window + explode are not) — measured
-    //     +81% corpus_build wall at sf0.1's ~8% dup rate.
-    // Scan-side is the right default; flip `probeKeepersOnly` for
-    // dup-heavy corpora (≳50% dups) where duplicate probe work
-    // dominates a second window pass.
-    val probeSide = if (probeKeepersOnly) deduped else filtered
-    val contaminated = contaminationFlags(probeSide,
-      benchShingles(documents, benchPct), contamRatio)
-    val b = Sampling.hashBucket(col("doc_id"))
-    deduped
-      .join(contaminated, Seq("doc_id"), "left_anti")
+        min("doc_id").over(Window.partitionBy(col("text_hash"))))
+      .filter(col("doc_id") === col("__keep") && !col("contaminated"))
       .select(col("doc_id"),
-        when(b < trainPct, "train")
-          .when(b < trainPct + valPct, "val")
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test").as("split"))
   }
 

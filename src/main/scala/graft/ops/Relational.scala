@@ -72,14 +72,25 @@ object Relational {
   def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.02): DataFrame = {
     def within5pct(approx: Column, exact: Column): Column =
       abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") < 0.05
-    lineitem
+    // r6: exact and approx run as SEPARATE aggregations joined on the
+    // (few-row) group key. Mixing countDistinct with other aggregates
+    // in one agg forces an Expand of the whole fact table (one
+    // projection per distinct column + one for the plain aggregates —
+    // 3× the scan rows through the shuffle, HLL buffers riding every
+    // expanded row: measured 2.2 s vs 0.38 s for the 2-distinct-only
+    // sibling q_count_distinct at sf0.1). Two lean passes + a tiny
+    // broadcast join compute the identical result.
+    val exact = lineitem
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("n_parts_exact"),
-        countDistinct(col("l_suppkey")).as("n_supps_exact"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"))
+    val approx = lineitem
+      .groupBy("l_returnflag")
+      .agg(
         approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx")
-      )
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_supps_approx"))
+    exact.join(approx, Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
         col("n_parts_exact"),

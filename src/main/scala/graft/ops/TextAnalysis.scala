@@ -54,17 +54,86 @@ object TextAnalysis {
         (nStop.cast("double") / nTok) * 0.5, 6)
   }
 
+  // ---- scalar (task-side) twins of the gate expressions -------------
+  // The Column forms above stay the declarative contract (and what the
+  // frozen bench probes use); these JVM kernels compute the IDENTICAL
+  // values in one tokenization pass for the fused scan-side pipelines
+  // (higher-order-function expressions are CodegenFallback — they run
+  // interpreted per row, and each gate re-evaluates split(text)).
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    langProfiles.flatMap(_._2).distinct.foreach(s.add)
+    s
+  }
+
+  /** Count of marker-stopword tokens — `size(filter(toks, ∈ stop))`. */
+  def stopCountKernel(words: Array[String]): Int = {
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      if (stopSet.contains(words(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** `qualityScore` as a scalar: same arithmetic, same HALF_UP 6-dp
+    * round (Spark's Round on doubles goes through
+    * BigDecimal(Double.toString) — reproduced exactly). NaN for an
+    * empty token array, like the Column form's 0/0. */
+  def qualityKernel(words: Array[String]): Double = {
+    if (words.isEmpty) return Double.NaN
+    val nStop = stopCountKernel(words)
+    val raw = math.min(words.length / 100.0, 1.0) * 0.5 +
+      (nStop.toDouble / words.length) * 0.5
+    new java.math.BigDecimal(java.lang.Double.toString(raw))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** `bestLang` as a scalar: per-language marker counts, argmax with
+    * the SAME strict-> first-wins tie-break over the pre-sorted
+    * profiles. Returns (lang, score). */
+  def bestLangKernel(words: Array[String]): (String, Int) = {
+    var bestLang = langProfiles.head._1
+    var bestScore = -1
+    langProfiles.foreach { case (lang, markers) =>
+      var score = 0
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var j = 0
+        var hit = false
+        while (j < markers.length && !hit) {
+          if (markers(j) == w) hit = true
+          j += 1
+        }
+        if (hit) score += 1
+        i += 1
+      }
+      if (bestScore < 0 || score > bestScore) { bestScore = score; bestLang = lang }
+    }
+    (bestLang, bestScore)
+  }
+
   /** N-gram/stopword language-ID heuristic: score(lang) = #tokens in
     * that language's marker set; predicted = argmax, ties to the
-    * alphabetically-first language (profiles are pre-sorted). */
+    * alphabetically-first language (profiles are pre-sorted).
+    * Typed single-pass kernel (r6): the declarative `bestLang` builds
+    * 5 structs through interpreted ArrayFilter per row and re-runs
+    * split(text) per language — integer counting, so the kernel is
+    * exactly equal. */
   def langId(documents: DataFrame): DataFrame = {
-    val best = bestLang(tokens(col("text")))
-    documents.select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      best.getField("lang").as("pred_lang"),
-      best.getField("score").cast("int").as("score")
-    )
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val (pred, score) = bestLangKernel(graft.functions.TextKernels.words(text))
+        (id, lang, pred, score)
+      }
+      .toDF("doc_id", "labeled_lang", "pred_lang", "score")
   }
 
   /** Quality scoring: token count, average token length, stopword
@@ -150,12 +219,17 @@ object TextAnalysis {
     * Integer sums stay exact; the one floating aggregate (avg quality)
     * is rounded to 4 like every cross-engine double here. */
   def corpusStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val spark = documents.sparkSession
+    import spark.implicits._
     documents
-      .select(
-        bestLang(toks).getField("lang").as("pred_lang"),
-        size(toks).cast("long").as("n_tok"),
-        qualityScore(toks).as("q"))
+      .select(col("text")).as[String]
+      .map { text =>
+        // one tokenization pass per doc (r6): the declarative form ran
+        // split(text) once per gate expression through interpreted HOFs
+        val w = graft.functions.TextKernels.words(text)
+        (bestLangKernel(w)._1, w.length.toLong, qualityKernel(w))
+      }
+      .toDF("pred_lang", "n_tok", "q")
       .groupBy("pred_lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -291,39 +291,40 @@ object TextDedup {
     * groupBy pass (one shuffle; whole-stage codegen keeps the 64
     * expressions in one operator). */
   def simhash(documents: DataFrame): DataFrame = {
-    val summed = simhashBitSums(documents)
-    val hexDigits: Seq[Column] = (0 until 16).map { j =>
-      val v = (0 until 4).map { b =>
-        when(col(s"b${4 * j + b}") > 0, 1 << (3 - b)).otherwise(0)
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
-    }
-    summed.select(col("doc_id"), concat(hexDigits: _*).as("simhash"))
-  }
-
-  /** Per-doc signed bit sums b0..b63 (one shuffle, 64 conditional sums
-    * in a single map-side-combined groupBy pass) — shared by the hex
-    * rendering (`simhash`) and the Hamming pair join (`simhashPairs`). */
-  private def simhashBitSums(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val bitSums: Seq[Column] = (0 until 64).map { i =>
-      val nibble = conv(substring(col("h"), 1 + i / 4, 1), 16, 10).cast("int")
-      val bit = shiftright(nibble, 3 - i % 4).bitwiseAND(1)
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.TextKernels.simhashHex(
+          graft.functions.TextKernels.simhashSums(t)))
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** The 64 simhash bits assembled into one BIGINT (bit i of the hex
     * rendering = bit 63-i of the long; any fixed bijection works —
-    * Hamming distance is permutation-invariant). */
+    * Hamming distance is permutation-invariant).
+    *
+    * r6: both renderings come from a per-document TYPED KERNEL
+    * (`TextKernels.simhashSums` — the sums are doc-local and commute,
+    * so the signature is a pure scan-side projection). The previous
+    * explode(distinct tokens) → groupBy(64 conditional sums) plan paid
+    * a full shuffle of every token row plus 64 interpreted
+    * substring/conv expressions per token; bit sums are integers, so
+    * the kernel result is exactly the old aggregate's. */
   def simhashLong(documents: DataFrame): DataFrame = {
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), 63 - i)).otherwise(lit(0L))
-    }.reduce(_ + _) // disjoint bit patterns: the sum IS the bitwise OR
-    simhashBitSums(documents).select(col("doc_id"), sig.as("sig"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.TextKernels.simhashSig(
+          graft.functions.TextKernels.simhashSums(t)))
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** SimHash near-duplicate pairs: all (doc_a < doc_b) with Hamming
@@ -382,13 +383,18 @@ object TextDedup {
     * join back on gram is hash-partitioned on the same key. No step
     * holds a per-doc gram set in memory. */
   def dupSpanFraction(documents: DataFrame, n: Int = 8): DataFrame = {
-    val w = tokens(col("text"))
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => md5(array_join(slice(w, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // positional gram md5s via the typed kernel (r6): the declarative
+    // slice-lambda form re-inlined split(text) per gram position —
+    // quadratic per document (the PLANS.md lambda rule)
     val occ = documents
-      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels.gramMd5s(t, n).map(g => (id, g))
+      }
+      .toDF("doc_id", "g")
       .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
     val docsPerGram = occ.groupBy("g")
       .agg(count(lit(1)).as("n_docs")) // occ rows are distinct (doc, g)

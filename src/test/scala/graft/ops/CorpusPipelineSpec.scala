@@ -109,25 +109,23 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
-  test("corpusBuild probe side: scan-side default has ONE window; keeper-only opt-in is ≡") {
+  test("corpusBuild fused plan: one window, zero joins; probeKeepersOnly is a no-op ≡") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
     import org.apache.spark.sql.execution.window.WindowExec
-    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+    def count(df: org.apache.spark.sql.DataFrame)(pred: SparkPlan => Boolean): Int = {
       df.collect()
       def walk(p: SparkPlan): Int = p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec => walk(q.plan)
-        case w: WindowExec => 1 + w.children.map(walk).sum
-        case other => other.children.map(walk).sum
+        case other => (if (pred(other)) 1 else 0) + other.children.map(walk).sum
       }
       walk(df.queryExecution.executedPlan)
     }
     def en(id: Long) = s"the a of and to w$id x$id y$id z$id q$id"
     // one dup pair (keeper restriction does real work) AND one
-    // contaminated doc — without a flagged row AQE's empty-relation
-    // propagation prunes the whole probe branch at runtime and both
-    // variants degenerate to one window
+    // contaminated doc, so every pipeline stage has live rows
     val bench0 = benchIds.head
     val benchText = s"the a of and to held out probe x$bench0 y"
     val docs = ids.map { id =>
@@ -140,14 +138,16 @@ class CorpusPipelineSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val fast = CorpusPipeline.corpusBuild(docs)
     val keeper = CorpusPipeline.corpusBuild(docs, probeKeepersOnly = true)
-    // default: the contamination probe hangs off the scan, so the
-    // dedup window runs ONCE; keeper-only re-traverses it in the probe
-    // branch (second WindowExec over the reused exchange) — the
-    // measured +81% corpus_build wall at sf0.1's ~8% dup rate, which
-    // is why scan-side is the default. Outputs are identical either
-    // way (duplicates share their keeper's text, hence its flag).
-    assert(windows(fast) == 1)
-    assert(windows(keeper) == 2)
+    // r6 fused pipeline: gates + contamination probe run inside ONE
+    // typed scan pass (broadcast bench-shingle hash set), so the plan
+    // holds exactly the dedup window's corpus exchange and NO join at
+    // all — the old probe branch (scan → explode → broadcast join →
+    // agg → left_anti) is gone, and with it the probe-side cost choice
+    // probeKeepersOnly used to toggle (kept as a no-op for source
+    // compatibility; outputs are identical by the shared-text argument).
+    assert(count(fast)(_.isInstanceOf[WindowExec]) == 1)
+    assert(count(fast)(p => p.isInstanceOf[BaseJoinExec] ||
+      p.isInstanceOf[BroadcastNestedLoopJoinExec]) == 0)
     val a = fast.as[(Long, String)].collect().sortBy(_._1).toSeq
     val b = keeper.as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(a.nonEmpty && a == b)
