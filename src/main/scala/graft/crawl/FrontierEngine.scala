@@ -111,6 +111,26 @@ final case class CrawlConfig(
     // setting (≈128 rows/task × 32 tasks). A crash loses at most one
     // epoch. Raise at 10^10 scale — commit cost is O(epochs).
     leafEpochSize: Int = 4096,
+    // prior-key cache refresh cadence, in table versions (≈ supersteps),
+    // for the NON-mirror anti-join path. The exact anti-joins' right
+    // side is "every prior row" — re-read, re-shuffled and re-sorted
+    // from parquet EVERY superstep, i.e. Σ-over-steps quadratic bytes
+    // through the exchange (measured: the two appends were 1.06 s +
+    // 0.66 s of a 2.4 s bench superstep). The fix mirrors the bucketed
+    // mirror at memory speed: the prior-key projection is persisted
+    // PRE-PARTITIONED AND PRE-SORTED on the join key (InMemoryRelation
+    // preserves outputPartitioning/outputOrdering, so the sort-merge
+    // join plans NO exchange and NO sort on the cached side), and only
+    // the post-cache delta files (≤ priorCacheEvery small appends) join
+    // as a separate small chained right. Contents derive from committed
+    // snapshots only (version-guarded like the mirror), so re-executed
+    // supersteps and crash-resume read identical data. 0 disables.
+    // At the 10^10 design point the seen/frontier keys exceed executor
+    // storage — there the bucketed mirrors (seenBuckets > 0) carry the
+    // same plan shape from disk; the cache is the in-memory analog for
+    // crawls that fit (MEMORY_AND_DISK, so an overflow spills, not
+    // OOMs).
+    priorCacheEvery: Int = 8,
     // F4 fidelity quirk (`zhwiki_leafs.py:113-123`): the reference keys
     // the already-crawled check on the NARROW-sanitized TITLE alone
     // (its save-directory name) — same-titled articles on DIFFERENT
@@ -379,6 +399,50 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     if (cfg.fetchPartitions > 0) cfg.fetchPartitions
     else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** In-memory prior-key cache for the non-mirror anti-join path (see
+    * CrawlConfig.priorCacheEvery): the right side of the exact
+    * anti-join, persisted pre-partitioned + pre-sorted on the join key
+    * so the per-superstep join moves only the candidate side and the
+    * post-cache delta. Version-guarded: rightsFor(stableV) only ever
+    * serves data ≤ stableV, refreshing at the configured cadence. */
+  private final class PriorKeyCache(
+      t: IceLite, keys: Seq[String], project: DataFrame => DataFrame) {
+    private var cached: Option[(Int, DataFrame)] = None
+    def rightsFor(stableV: Int): Seq[DataFrame] = {
+      val stale = cached.forall { case (v, _) =>
+        v > stableV || stableV - v >= cfg.priorCacheEvery }
+      if (stale) {
+        cached.foreach(_._2.unpersist())
+        val df = project(t.readAt(stableV))
+          .repartition(nPart, keys.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = Some((stableV, df))
+      }
+      val (v, df) = cached.get
+      val deltaFiles = (t.filesAt(stableV).toSet -- t.filesAt(v).toSet).toSeq.sorted
+      val deltas =
+        if (deltaFiles.isEmpty) Nil
+        else Seq(project(t.readFiles(deltaFiles)))
+      // shuffled-hash, not sort-merge: the cached side re-partitions at
+      // memory speed but a sort-merge join would also SORT those wide
+      // string rows every superstep; hashing the build side is measured
+      // faster (CacheJoinProbe) and this path is by construction the
+      // fits-in-memory small-crawl path, so the build-side hash table
+      // is bounded
+      deltas :+ df.hint("shuffle_hash")
+    }
+  }
+  private def frontierLeafKeys(df: DataFrame): DataFrame =
+    df.filter(col("isleaf") === 1).select(FrontierKeyCols.map(col): _*)
+  private val frontierPriorCache: Option[PriorKeyCache] =
+    if (cfg.priorCacheEvery > 0)
+      Some(new PriorKeyCache(frontier, FrontierKeyCols, frontierLeafKeys))
+    else None
+  private val seenPriorCache: Option[PriorKeyCache] =
+    if (cfg.priorCacheEvery > 0)
+      Some(new PriorKeyCache(seen, Seq("url"), _.select("url")))
+    else None
+
   /** Sharded persistent blooms (cfg.seenBuckets > 0): one shard per
     * mirror bucket, built distributed (tasks write shard files — no
     * driver-side merge, no per-superstep broadcast of the full set)
@@ -450,17 +514,18 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     (cur -- base).toSeq.sorted
   }
 
-  private def buildBloomFromFiles(files: Seq[String], keys: Seq[String]): Option[BloomFilter] =
+  private def buildBloomFromFiles(t: IceLite, files: Seq[String], keys: Seq[String]): Option[BloomFilter] =
     if (files.isEmpty) None
-    else buildBloom(spark.read.parquet(files: _*), keys)
+    else buildBloom(t.readFiles(files), keys)
 
   private def initBlooms(): Unit = if (bloomActive && !bloomsReady) {
     (seenShards, leafShards) match {
       case (Some(ss), Some(ls)) if ss.generation > 0 && ls.generation > 0 =>
         // resume: shards load lazily from their files — NO full-table
         // scan. Only the post-generation delta (file diff) is rebuilt.
-        seenBloom = buildBloomFromFiles(deltaFilesSince(seen, ss.generation), Seq("url"))
-        leafBloom = buildBloomFromFiles(
+        seenBloom = buildBloomFromFiles(seen,
+          deltaFilesSince(seen, ss.generation), Seq("url"))
+        leafBloom = buildBloomFromFiles(frontier,
           deltaFilesSince(frontier, ls.generation), FrontierKeyCols)
         lastBloomInit = "loaded-shards"
       case (Some(ss), Some(ls)) =>
@@ -546,6 +611,21 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     if (!(t.currentVersion > 0 && t.lineageAt(t.currentVersion) == tag))
       t.append(df, tag, coalesceTo)
 
+  /** Small daemon pool for overlapping the superstep's INDEPENDENT
+    * state-table commits (guide §2.6 back-fill): each append is a small
+    * write job with a fixed scheduling + commit-protocol floor
+    * (measured ~0.3 s even for a 26k-row delta), and the metrics /
+    * frontier / seen commits have no cross-table ordering constraint —
+    * crash-resume is per-table idempotent via appendOnce tags, and only
+    * the queue overwrite (the superstep's commit point) must come last,
+    * after ALL of them are awaited durable. */
+  private val appendEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-append"); t.setDaemon(true); t
+        }))
+
   // env-gated phase timing for superstep cost attribution (bench tuning)
   private val timing = sys.env.get("GRAFT_SUPERSTEP_TIMING").contains("1")
   private def phase[A](k: Int, name: String)(body: => A): A = {
@@ -558,8 +638,11 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     }
   }
 
-  /** One superstep. Returns (next queue size, fetched count). */
-  def superstep(k: Int, nextSeqStart: Long): (Long, Long) = {
+  /** One superstep. Returns (next queue size, fetched count).
+    * `queueRows` = the current queue's row count when the caller
+    * already knows it (run() does — it is the previous step's nq);
+    * -1 = count it here (direct/test callers). */
+  def superstep(k: Int, nextSeqStart: Long, queueRows: Long = -1L): (Long, Long) = {
     if (seenApprox < 0) seenApprox = seen.read().count() // resume/startup
     initBlooms()
     val q = queue.read().as[(String, Long)]
@@ -612,19 +695,28 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         .map(r => (k, r.getInt(0), r.getLong(1), r.getLong(2)))
     }
     val nFetched = metricRows.map(_._3).sum
-    phase(k, "metrics append") {
-      appendOnce(metrics, s"metrics k=$k",
-        metricRows.toSeq.toDF("superstep", "partition", "fetched", "errors"),
-        coalesceTo = 1)
-    }
+    val fMetrics = scala.concurrent.Future {
+      phase(k, "metrics append") {
+        appendOnce(metrics, s"metrics k=$k",
+          metricRows.toSeq.toDF("superstep", "partition", "fetched", "errors"),
+          coalesceTo = 1)
+      }
+    }(appendEc)
 
     val chaosFail = cfg.chaosExtractFail
+    // lazy localCheckpoint, not persist (r6): same caching, but the
+    // LOGICAL plan truncates to the materialized RDD — every downstream
+    // transformation (five branches hang off the link table) re-runs
+    // eager analysis over its whole ancestor tree, and the fetch+
+    // extract subtree was costing ~0.4 s/superstep of driver-serial
+    // analyzer time across the branches. Blocks are freed by the
+    // ContextCleaner when the superstep's references drop.
     val linksAll = fetched
       .filter(col("html").isNotNull)
       .as[(String, Long, String)]
       .flatMap(r => FrontierEngine.extractLinks(r, chaosFail))
       .toDF("url", "title", "pre_url", "isleaf", "parent_seq", "emit_idx", "section")
-      .persist()
+      .localCheckpoint(false)
     // quarantined extract failures (see extractLinks): out of the link
     // flow, into their own table — the page acts like a 404
     val xFails = linksAll.filter(col("section") === "extract_failed")
@@ -656,7 +748,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     val stableF = stableVersion(frontier, frontierTag)
     def priorKeysOf(df: DataFrame): DataFrame =
       df.filter(col("isleaf") === 1).select(FrontierKeyCols.map(col): _*)
-    val priorRights: Seq[DataFrame] =
+    val priorRights: Seq[DataFrame] = phase(k, "prior-rights plan") {
       frontierMirror.filter(m => m.version > 0 && m.version <= stableF) match {
         case Some(m) =>
           val deltaFiles =
@@ -664,17 +756,24 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
               .toSeq.sorted
           val deltas =
             if (deltaFiles.isEmpty) Nil
-            else Seq(priorKeysOf(spark.read.parquet(deltaFiles: _*)))
+            else Seq(priorKeysOf(frontier.readFiles(deltaFiles)))
           deltas :+ m.table()
-        case None => Seq(priorKeysOf(frontier.readAt(stableF)))
+        case None =>
+          frontierPriorCache match {
+            case Some(c) => c.rightsFor(stableF)
+            case None    => Seq(priorKeysOf(frontier.readAt(stableF)))
+          }
       }
+    }
     val pageRows = FrontierEngine.antiJoinChainWithBloom(
       spark, pageCand, priorRights, Seq("url", "title", "pre_url", "isleaf"),
       leafProbe)
-    phase(k, "frontier append") {
-      appendOnce(frontier, frontierTag,
-        nonPage.unionByName(pageRows).repartition(cfg.appendFiles))
-    }
+    val fFrontier = scala.concurrent.Future {
+      phase(k, "frontier append") {
+        appendOnce(frontier, frontierTag,
+          nonPage.unionByName(pageRows).repartition(cfg.appendFiles))
+      }
+    }(appendEc)
 
     // ---- enqueue (queue/viewed semantics) ----
     val cand = links.filter(col("section") =!= "page")
@@ -699,25 +798,36 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // joins with no Exchange/Sort. Falls back to the plain snapshot
     // read when the mirror is absent or ahead of the stable version
     // (possible only for a crash between mirror refresh and adopt).
-    val seenRights: Seq[DataFrame] =
+    val seenRights: Seq[DataFrame] = phase(k, "seen-rights plan") {
       seenMirror.filter(m => m.version > 0 && m.version <= stableV) match {
         case Some(m) =>
           val deltaFiles =
             (seen.filesAt(stableV).toSet -- seen.filesAt(m.version).toSet).toSeq.sorted
           val deltas =
             if (deltaFiles.isEmpty) Nil
-            else Seq(spark.read.parquet(deltaFiles: _*).select("url"))
+            else Seq(seen.readFiles(deltaFiles).select("url"))
           deltas :+ m.table()
-        case None => Seq(seen.readAt(stableV))
+        case None =>
+          seenPriorCache match {
+            case Some(c) => c.rightsFor(stableV)
+            case None    => Seq(seen.readAt(stableV))
+          }
       }
+    }
+    // lazy localCheckpoint for the same plan-truncation reason as
+    // linksAll: unseen feeds the seen append, the queue seq assignment
+    // and two more commits — each would re-analyze the whole window +
+    // anti-join chain tree otherwise
     val unseen = FrontierEngine.antiJoinChainWithBloom(
       spark, firstWins, seenRights, Seq("url"),
       seenProbe)
-      .persist()
+      .localCheckpoint(false)
 
-    phase(k, "seen append") {
-      appendOnce(seen, seenTag, unseen.select("url").repartition(cfg.appendFiles))
-    }
+    val fSeen = scala.concurrent.Future {
+      phase(k, "seen append") {
+        appendOnce(seen, seenTag, unseen.select("url").repartition(cfg.appendFiles))
+      }
+    }(appendEc)
 
     val blocked = cfg.blockedUrls
     val toQueue = unseen
@@ -725,15 +835,47 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         if (blocked.isEmpty) Seq(" never ") else blocked.toSeq)))
       .select("url", "parent_seq", "emit_idx")
 
-    // contiguous crawl-order seq: sorted zipWithIndex (no 1-partition window)
-    val ordered = toQueue.orderBy("parent_seq", "emit_idx")
-      .select("url").as[String]
-    val nextQueue = ordered.rdd
-      .zipWithIndex()
-      .map { case (url, i) => (url, nextSeqStart + i) }
-      .toDF("url", "seq")
-      .persist()
+    // contiguous crawl-order seq (r6): sampling-free range bucketing.
+    // The queue's seqs are CONTIGUOUS [nextSeqStart - queueRows,
+    // nextSeqStart), so equal-width parent_seq ranges ARE a range
+    // partitioning with KNOWN bounds — no sampling pass. Global rank =
+    // cumulative bucket counts (nB rows of driver metadata) + a
+    // per-bucket row_number window; ties cannot exist ((parent_seq,
+    // emit_idx) is unique: one first-wins row per url, emit_idx unique
+    // per parent). The previous orderBy + rdd.zipWithIndex chain paid a
+    // range-sampling job, an eager offsets job, AND re-ran the sort
+    // when the persisted RDD materialized (measured 0.30 s/superstep).
+    val nextQueue = phase(k, "seq assign") {
+      val qRows = math.max(1L,
+        if (queueRows >= 0) queueRows else queue.read().count())
+      val qStart = nextSeqStart - qRows
+      val nB = nPart
+      val bucket = least(lit(nB - 1), greatest(lit(0),
+        floor((col("parent_seq") - qStart) * nB / qRows.toDouble)))
+        .cast("int")
+      val withB = toQueue.withColumn("bucket", bucket)
+      // per-bucket start offsets: a ≤nB-row aggregate cum-summed through
+      // a single-partition window (nB rows — metadata-sized) and joined
+      // back by BROADCAST, so the whole seq assignment is ONE lazy plan
+      // with no driver collect and no eager job
+      val offsets = withB.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bucket", "off")
+      val wB = Window.partitionBy("bucket").orderBy("parent_seq", "emit_idx")
+      withB
+        .withColumn("rn", row_number().over(wB))
+        .join(broadcast(offsets), "bucket")
+        .select(col("url"),
+          (lit(nextSeqStart) + col("off") + col("rn") - 1).as("seq"))
+        .persist()
+    }
 
+    // unseen's cache must be fully materialized (fSeen) before the seq
+    // count scans it — a concurrent first-touch would compute partitions
+    // twice, not corrupt them, but the await costs nothing extra here
+    scala.concurrent.Await.result(fSeen, scala.concurrent.duration.Duration.Inf)
     val nq = phase(k, "queue seq+count") { nextQueue.count() }
     // crawl-order log BEFORE the queue overwrite (the commit point):
     // once step k+1's queue lands, its order rows are guaranteed
@@ -745,7 +887,10 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         coalesceTo = cfg.appendFiles)
     }
     // the queue overwrite is the superstep's commit point: once it
-    // lands, re-execution of step k is impossible (k advances)
+    // lands, re-execution of step k is impossible (k advances) — so
+    // every overlapped append must be durable FIRST
+    scala.concurrent.Await.result(fFrontier, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fMetrics, scala.concurrent.duration.Duration.Inf)
     phase(k, "queue overwrite") {
       // nextQueue is already materialized (count above), so coalesce
       // here only merges cached partitions for the write
@@ -755,19 +900,32 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
 
     // merge candidate deltas into the persistent blooms (supersets of
     // the committed deltas — over-approximation is safe)
-    if (bloomActive && bloomsReady) {
+    if (bloomActive && bloomsReady) phase(k, "bloom merge") {
       seenBloom = mergeBloom(seenBloom, buildBloom(cand.select("url"), Seq("url")))
       leafBloom = mergeBloom(leafBloom,
         buildBloom(pageCand, Seq("url", "title", "pre_url", "isleaf")))
     }
     seenApprox += nq // lower bound on the seen delta (blocked adds excluded)
 
-    fetchedChunks.foreach(c => { c.unpersist(); () })
-    linksAll.unpersist()
-    unseen.unpersist()
-    nextQueue.unpersist()
+    phase(k, "unpersist") {
+      fetchedChunks.foreach(c => { c.unpersist(); () })
+      freeCheckpoint(linksAll)
+      freeCheckpoint(unseen)
+      nextQueue.unpersist()
+    }
     (nq, nFetched)
   }
+
+  /** Free a localCheckpoint'd DataFrame's cached blocks eagerly
+    * (df.unpersist() can't — the plan root is the checkpoint RDD, not a
+    * cache entry; without this the ContextCleaner frees them only at
+    * some later GC, and 10^3-superstep crawls would stack gigabytes of
+    * dead link tables in the block manager meanwhile). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Run to completion (or maxSupersteps). Returns supersteps executed. */
   def run(): Int = {
@@ -777,7 +935,7 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     var pending = queue.read().count()
     var steps = 0
     while (pending > 0 && steps < cfg.maxSupersteps) {
-      val (nq, _) = superstep(k, nextSeq)
+      val (nq, _) = phase(k, "WHOLE superstep") { superstep(k, nextSeq, pending) }
       nextSeq += nq
       pending = nq
       k += 1

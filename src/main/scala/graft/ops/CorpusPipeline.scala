@@ -247,7 +247,10 @@ object CorpusPipeline {
     val built =
       corpusBuild(documents, benchPct, minTokens, minQuality, langs,
           trainPct, valPct, contamRatio, probeKeepersOnly)
-    val base = if (reliable) built.checkpoint() else built.localCheckpoint()
+    // lazy checkpoint (r6): the first consumer's action materializes it
+    // — the eager form ran the gates→dedup subtree once just to cache
+    // and again nothing; one full pass saved, identical truncation
+    val base = if (reliable) built.checkpoint(false) else built.localCheckpoint(false)
     val survivorDocs =
       documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
     val pairs = TextDedup.minhashCandidatePairs(survivorDocs)

@@ -97,8 +97,12 @@ object DedupGraph {
     * O(log n) convergence claim). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxRounds: Int = 50,
       reliable: Boolean = false): (DataFrame, Int) = {
+    // LAZY truncation (r6): the eager checkpoint ran one materialization
+    // job per round and the sig() scan below immediately ran a second
+    // pass over the same rows. With eager=false the sig() action IS the
+    // materialization — one pass per round, same lineage truncation.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     // (count, xor of row hashes): differing signatures PROVE the edge
     // sets differ in one cheap scan; only equal signatures pay the
     // exact exceptAll confirmation — so the per-round convergence test
@@ -124,11 +128,17 @@ object DedupGraph {
     // the fixpoint of the two stars is a min-rooted star forest; verify
     // that shape ONCE (leaves unique, no node both leaf and root) so the
     // labeling below is provably unambiguous — a violated invariant is a
-    // loud error, never a silently wrong component id
-    require(edges.groupBy("u").count().filter(col("count") > 1).isEmpty,
-      "connectedComponents: converged edge set is not a star forest (duplicate leaf)")
-    require(edges.select("u").intersect(edges.select("v")).isEmpty,
-      "connectedComponents: converged edge set is not a star forest (leaf is also a root)")
+    // loud error, never a silently wrong component id. r6: both checks
+    // fused into ONE aggregation pass over the (node, leaf/root) roles —
+    // the previous groupBy-count plus intersect (two distincts + a join)
+    // cost three extra shuffles over the final edge set.
+    val badShape = edges
+      .select(col("u").as("n"), lit(1L).as("l"), lit(0L).as("r"))
+      .unionAll(edges.select(col("v").as("n"), lit(0L).as("l"), lit(1L).as("r")))
+      .groupBy("n").agg(sum("l").as("l"), sum("r").as("r"))
+      .filter(col("l") > 1 || (col("l") > 0 && col("r") > 0))
+    require(badShape.isEmpty,
+      "connectedComponents: converged edge set is not a star forest")
     (edges.select(col("u").as("doc_id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("doc_id"), col("v").as("component")))
       .distinct(), round)

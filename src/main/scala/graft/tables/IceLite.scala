@@ -194,13 +194,32 @@ final class IceLite(spark: SparkSession, dir: String) {
 
   def isEmpty: Boolean = filesAt(currentVersion).isEmpty
 
+  /** Table schema, cached after the first successful read: a snapshot
+    * table's schema never changes across versions, but a bare
+    * `spark.read.parquet(files)` pays driver-side schema inference
+    * (footer read + datasource resolution) on EVERY call — measured
+    * ~0.3 s/superstep on the crawl's growing state tables, purely
+    * driver-serial. The cache skips inference; file listing stays
+    * per-version (correctness: the file LIST is the snapshot). */
+  @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+
   /** Snapshot read of the current version. */
   def read(): DataFrame = readAt(currentVersion)
 
   def readAt(v: Int): DataFrame = {
     val fs = filesAt(v)
     require(fs.nonEmpty, s"IceLite table $dir has no data at v$v")
-    spark.read.parquet(fs: _*)
+    readFiles(fs)
+  }
+
+  /** Read an explicit file subset of this table (delta reads) with the
+    * cached schema — same inference-skip as [[readAt]]. */
+  def readFiles(fs: Seq[String]): DataFrame = cachedSchema match {
+    case Some(s) => spark.read.schema(s).parquet(fs: _*)
+    case None =>
+      val df = spark.read.parquet(fs: _*)
+      cachedSchema = Some(df.schema)
+      df
   }
 
   def lineageAt(v: Int): String =
