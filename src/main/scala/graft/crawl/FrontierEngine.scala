@@ -881,16 +881,22 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
     // once step k+1's queue lands, its order rows are guaranteed
     // committed; a crash in between re-executes step k and appendOnce
     // skips the already-committed tag (deterministic recomputation)
-    if (nq > 0) phase(k, "order append") {
-      appendOnce(order, s"order k=${k + 1}",
-        nextQueue.withColumn("superstep", lit(k + 1)),
-        coalesceTo = cfg.appendFiles)
-    }
+    // overlapped like the other appends (reads the nextQueue cache the
+    // count just materialized); only the queue overwrite below must
+    // wait for it
+    val fOrder = scala.concurrent.Future {
+      if (nq > 0) phase(k, "order append") {
+        appendOnce(order, s"order k=${k + 1}",
+          nextQueue.withColumn("superstep", lit(k + 1)),
+          coalesceTo = cfg.appendFiles)
+      }
+    }(appendEc)
     // the queue overwrite is the superstep's commit point: once it
     // lands, re-execution of step k is impossible (k advances) — so
     // every overlapped append must be durable FIRST
     scala.concurrent.Await.result(fFrontier, scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(fMetrics, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fOrder, scala.concurrent.duration.Duration.Inf)
     phase(k, "queue overwrite") {
       // nextQueue is already materialized (count above), so coalesce
       // here only merges cached partitions for the write

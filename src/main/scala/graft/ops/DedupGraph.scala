@@ -112,6 +112,16 @@ object DedupGraph {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // star-forest shape violations of an edge set (leaves unique, no
+    // node both leaf and root) — the invariant that makes the final
+    // labeling provably unambiguous. ONE aggregation pass over the
+    // (node, leaf/root) roles; the previous groupBy-count plus
+    // intersect (two distincts + a join) cost three extra shuffles.
+    def shapeViolations(df: DataFrame): DataFrame = df
+      .select(col("u").as("n"), lit(1L).as("l"), lit(0L).as("r"))
+      .unionAll(df.select(col("v").as("n"), lit(0L).as("l"), lit(1L).as("r")))
+      .groupBy("n").agg(sum("l").as("l"), sum("r").as("r"))
+      .filter(col("l") > 1 || (col("l") > 0 && col("r") > 0))
     var edges = truncate(canonical(pairs))
     var s = sig(edges)
     var converged = s._1 == 0L
@@ -119,26 +129,21 @@ object DedupGraph {
     while (!converged && round < maxRounds) {
       val next = truncate(smallStar(largeStar(edges)))
       val ns = sig(next)
-      converged = ns == s && next.exceptAll(edges).isEmpty
+      // one action settles the round when signatures match: exact set
+      // equality AND the star-forest shape of the fixpoint, unioned so
+      // a single isEmpty covers both (the shape can only be violated if
+      // the algorithm itself is wrong — checking it inside the
+      // convergence action costs nothing extra and drops the separate
+      // post-loop verification job)
+      converged = ns == s &&
+        next.exceptAll(edges).select(lit(1L).as("x"))
+          .unionAll(shapeViolations(next).select(lit(1L).as("x")))
+          .isEmpty
       edges = next
       s = ns
       round += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxRounds rounds")
-    // the fixpoint of the two stars is a min-rooted star forest; verify
-    // that shape ONCE (leaves unique, no node both leaf and root) so the
-    // labeling below is provably unambiguous — a violated invariant is a
-    // loud error, never a silently wrong component id. r6: both checks
-    // fused into ONE aggregation pass over the (node, leaf/root) roles —
-    // the previous groupBy-count plus intersect (two distincts + a join)
-    // cost three extra shuffles over the final edge set.
-    val badShape = edges
-      .select(col("u").as("n"), lit(1L).as("l"), lit(0L).as("r"))
-      .unionAll(edges.select(col("v").as("n"), lit(0L).as("l"), lit(1L).as("r")))
-      .groupBy("n").agg(sum("l").as("l"), sum("r").as("r"))
-      .filter(col("l") > 1 || (col("l") > 0 && col("r") > 0))
-    require(badShape.isEmpty,
-      "connectedComponents: converged edge set is not a star forest")
     (edges.select(col("u").as("doc_id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("doc_id"), col("v").as("component")))
       .distinct(), round)

@@ -402,9 +402,15 @@ object TextDedup {
       }
       .toDF("doc_id", "g")
       .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
-    val docsPerGram = occ.groupBy("g")
-      .agg(count(lit(1)).as("n_docs")) // occ rows are distinct (doc, g)
-    occ.join(docsPerGram, "g")
+    // per-gram document count as a WINDOW over the gram partition (r6):
+    // the groupBy(g) + join-back formulation planned the occ subtree —
+    // including the gram-md5 flatMap — twice (aggregate arm and join
+    // arm are not exchange-reusable), re-hashing every gram of the
+    // corpus. occ rows are distinct (doc, g), so count(*) per g is the
+    // same n_docs; one gram pass, one fewer exchange.
+    occ
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(
         sum("occ").as("n_grams"),
