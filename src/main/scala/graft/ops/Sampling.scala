@@ -150,7 +150,14 @@ object Sampling {
     * orders); fixing it reproduces the order across runs, partitionings
     * and cluster sizes. Scale: one exchange on shard + a per-shard
     * window — no global sort, no single-partition window, same shape as
-    * [[packBy]]. */
+    * [[packBy]].
+    *
+    * CONTRACT: `key` must be unique per record (doc_id is; the epoch
+    * output of [[mixtureEpochs]] is NOT by doc_id alone — fold the
+    * epoch into the key, e.g. `concat(doc_id, '#', epoch)`). Duplicate
+    * keys produce identical md5 shuffle keys, and row_number on tied
+    * keys is partition-order-dependent — positions within a shard
+    * would then differ run-to-run. */
   def shuffleShards(records: DataFrame, key: Column, nShards: Int,
       seed: String): DataFrame = {
     val h = md5(concat_ws("|", lit(seed), key.cast("string")))

@@ -131,11 +131,23 @@ final class CuratedCorpus(
     if (batchId <= IceLiteSink.lastCommittedBatch(table))
       return BatchReport(appended = false, 0, 0, 0, noStats, noStats, refreshed = false)
     reconcile()
-    val toks = TextDedup.tokens(col("text"))
-    val gated = batch
-      .filter(size(toks) >= minTokens)
-      .filter(TextAnalysis.qualityScore(toks) >= minQuality)
-      .persist()
+    // typed gate kernel (r6): the declarative size/quality filters ran
+    // interpreted higher-order functions that re-split the text per
+    // gate expression (the corpusBuild lesson); one tokenization pass,
+    // identical decisions (qualityKernel reproduces the Column form's
+    // arithmetic incl. the NaN-fails-gate empty-doc case)
+    val gated = {
+      import spark.implicits._
+      // locals, not fields: the closure must not capture `this`
+      val (minT, minQ) = (minTokens, minQuality)
+      batch.select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter { r =>
+          val w = graft.functions.TextKernels.words(r._2)
+          w.length >= minT && TextAnalysis.qualityKernel(w) >= minQ
+        }
+        .toDF("doc_id", "text")
+        .persist()
+    }
     try {
       // within-batch exact first-wins, then the indexed cross-batch check
       val hashed = gated.withColumn("text_hash", md5(col("text")))
