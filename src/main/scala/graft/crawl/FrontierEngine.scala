@@ -420,9 +420,14 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       }
       val (v, df) = cached.get
       val deltaFiles = (t.filesAt(stableV).toSet -- t.filesAt(v).toSet).toSeq.sorted
+      // shuffle_hash on the delta too: both chained anti-joins then
+      // build hash tables on their right sides and the candidate side
+      // streams through BOTH with a single exchange and no sorts (SHJ
+      // preserves the streamed side's partitioning; SMJ would sort the
+      // candidates once per chained join)
       val deltas =
         if (deltaFiles.isEmpty) Nil
-        else Seq(project(t.readFiles(deltaFiles)))
+        else Seq(project(t.readFiles(deltaFiles)).hint("shuffle_hash"))
       // shuffled-hash, not sort-merge: the cached side re-partitions at
       // memory speed but a sort-merge join would also SORT those wide
       // string rows every superstep; hashing the build side is measured

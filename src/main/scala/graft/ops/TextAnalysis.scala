@@ -78,6 +78,13 @@ object TextAnalysis {
     n
   }
 
+  /** Spark's `round(double, scale)` reproduced exactly: HALF_UP over
+    * BigDecimal(Double.toString), NaN/Inf passed through. */
+  def sparkRound(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** `qualityScore` as a scalar: same arithmetic, same HALF_UP 6-dp
     * round (Spark's Round on doubles goes through
     * BigDecimal(Double.toString) — reproduced exactly). NaN for an
@@ -138,20 +145,31 @@ object TextAnalysis {
 
   /** Quality scoring: token count, average token length, stopword
     * ratio, and a bounded composite score. All integer/rational
-    * arithmetic until the final round so the oracle matches exactly. */
+    * arithmetic until the final round so the oracle matches exactly.
+    * Typed single-pass kernel (r6): the declarative form ran the
+    * `aggregate`/`filter` higher-order functions interpreted per row
+    * and re-evaluated split(text) per expression; token lengths are
+    * counted in CODE POINTS (Spark's `length`), rounds via
+    * [[sparkRound]], and the n==0 row keeps the Column form's 0/0 NaN. */
   def quality(documents: DataFrame): DataFrame = {
-    val stop = langProfiles.flatMap(_._2).distinct
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-    val nStop = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _)))
-    documents.select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
-      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-      qualityScore(toks).as("quality")
-    )
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = graft.functions.TextKernels.words(t)
+        val n = w.length
+        if (n == 0) (id, 0, Double.NaN, Double.NaN, Double.NaN)
+        else {
+          var sumLen = 0L
+          var i = 0
+          while (i < n) { sumLen += w(i).codePointCount(0, w(i).length); i += 1 }
+          (id, n,
+            sparkRound(sumLen.toDouble / n, 4),
+            sparkRound(stopCountKernel(w).toDouble / n, 4),
+            qualityKernel(w))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality")
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens with a
