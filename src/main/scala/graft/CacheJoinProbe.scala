@@ -54,7 +54,7 @@ object CacheJoinProbe {
     cachedRight.count()
     val joinedB = cand.join(cachedRight, Seq("url"), "left_anti")
     time("cached", joinedB.count())
-    println("---- cached plan ----")
+    println("---- cached plan FULLPLAN ----")
     joinedB.explain("formatted")
 
     // C: cached + shuffle_hash hint

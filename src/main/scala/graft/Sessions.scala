@@ -25,6 +25,15 @@ object Sessions {
       // re-gain the right-side Exchange+Sort the mirror exists to
       // remove (measured in graft.BucketProbe)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // compile cached plans WITHOUT AQE so InMemoryRelation keeps its
+      // child's outputPartitioning/outputOrdering: a persisted
+      // repartition+sort right side then sort-merge-joins with NO
+      // exchange and NO sort (verified in CacheJoinProbe's formatted
+      // plan — with the Spark 4 default the cached side re-shuffles
+      // and re-sorts on every join). Cached subtrees here are small
+      // and explicitly partitioned, so losing AQE inside them costs
+      // nothing.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

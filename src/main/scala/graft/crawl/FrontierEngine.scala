@@ -413,8 +413,13 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
         v > stableV || stableV - v >= cfg.priorCacheEvery }
       if (stale) {
         cached.foreach(_._2.unpersist())
+        // pre-partitioned AND pre-sorted on the join key: with cached
+        // plan partitioning preserved (Sessions conf), the sort-merge
+        // anti-join streams this side with NO exchange and NO sort —
+        // only the small candidate side shuffles+sorts per superstep
         val df = project(t.readAt(stableV))
           .repartition(nPart, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached = Some((stableV, df))
       }
@@ -428,13 +433,11 @@ final class FrontierEngine(spark: SparkSession, store: PageStore, cfg: CrawlConf
       val deltas =
         if (deltaFiles.isEmpty) Nil
         else Seq(project(t.readFiles(deltaFiles)).hint("shuffle_hash"))
-      // shuffled-hash, not sort-merge: the cached side re-partitions at
-      // memory speed but a sort-merge join would also SORT those wide
-      // string rows every superstep; hashing the build side is measured
-      // faster (CacheJoinProbe) and this path is by construction the
-      // fits-in-memory small-crawl path, so the build-side hash table
-      // is bounded
-      deltas :+ df.hint("shuffle_hash")
+      // the cached side carries its partitioning AND sort order into
+      // the sort-merge anti-join (no exchange, no sort — see the
+      // Sessions conf note); the delta side stays shuffled-hash so the
+      // candidate stream is never sorted twice
+      deltas :+ df
     }
   }
   private def frontierLeafKeys(df: DataFrame): DataFrame =
