@@ -425,10 +425,21 @@ object Similarity {
   }
 
   /** Cosine of `e` against every pivot, in pivot order (double
-    * arithmetic end-to-end: FloatDot accumulates left-to-right). */
-  private def pivotCos(pivots: Seq[Seq[Float]], e: Column): Column = {
+    * arithmetic end-to-end: FloatDot accumulates left-to-right).
+    * r6: the row norm is passed IN as a column (no CSE inside lambdas —
+    * `norm(e)` in the lambda re-ran FloatDot(e,e)+sqrt once per pivot),
+    * and pivot norms are precomputed driver-side with the IDENTICAL
+    * left-to-right double accumulation, so every division sees the
+    * same doubles as before. */
+  private def pivotCos(pivots: Seq[Seq[Float]], e: Column, nrmE: Column): Column = {
     val pivotLit = typedLit(pivots)
-    transform(pivotLit, p => dot(e, p) / (norm(e) * sqrt(dot(p, p))))
+    val normsLit = typedLit(pivots.map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < p.length) { s += p(i).toDouble * p(i).toDouble; i += 1 }
+      math.sqrt(s)
+    })
+    zip_with(pivotLit, normsLit, (p, np) => dot(e, p) / (nrmE * np))
   }
 
   /** Scan-side IVF cell assignment: adds `cell` (argmax-cosine pivot,
@@ -440,10 +451,10 @@ object Similarity {
     assignCells(embeddings, ivfPivots(embeddings, nCells))
 
   private def assignCells(df: DataFrame, pivots: Seq[Seq[Float]]): DataFrame = df
-    .withColumn("pcos", pivotCos(pivots, col("embedding")))
+    .withColumn("nrm", norm(col("embedding")))
+    .withColumn("pcos", pivotCos(pivots, col("embedding"), col("nrm")))
     .withColumn("cell",
       (array_position(col("pcos"), array_max(col("pcos"))) - 1).cast("int"))
-    .withColumn("nrm", norm(col("embedding")))
     .drop("pcos")
 
   /** Query probe cells: each query row exploded to its `nProbe`
@@ -459,10 +470,10 @@ object Similarity {
       col("pcos"), sequence(lit(0), lit(nCells - 1)),
       (c, i) => struct((-c).as("negcos"), i.as("pivot"))))
     queries
-      .withColumn("pcos", pivotCos(pivots, col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("pcos", pivotCos(pivots, col("embedding"), col("nrm")))
       .withColumn("cell",
         explode(transform(slice(probeStructs, 1, nProbe), s => s.getField("pivot"))))
-      .withColumn("nrm", norm(col("embedding")))
       .drop("pcos")
   }
 

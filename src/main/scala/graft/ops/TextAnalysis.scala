@@ -260,16 +260,30 @@ object TextAnalysis {
   }
 
   /** Token statistics: whitespace tokens, distinct tokens, and BPE-ish
-    * subtokens (maximal lowercase-alpha runs — a portable regex). */
+    * subtokens (maximal lowercase-alpha runs — a portable regex).
+    * Typed single-pass kernel (r6): the declarative form tokenized
+    * twice (size + distinct) through interpreted paths; the regex is
+    * the same Java pattern `regexp_extract_all` compiles, chars count
+    * code points like Spark's `length`. */
   def tokenStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_runs"),
-      length(col("text")).as("n_chars")
-    )
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val alphaRe = java.util.regex.Pattern.compile("[a-z]+")
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = alphaRe.matcher("")
+        it.map { case (id, t) =>
+          val w = graft.functions.TextKernels.words(t)
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < w.length) { seen.add(w(i)); i += 1 }
+          m.reset(t)
+          var runs = 0
+          while (m.find()) runs += 1
+          (id, w.length, seen.size, runs, t.codePointCount(0, t.length))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "n_alpha_runs", "n_chars")
   }
 
   /** Within-document repetition metrics (the Gopher-style repetition
