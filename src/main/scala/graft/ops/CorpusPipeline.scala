@@ -255,9 +255,13 @@ object CorpusPipeline {
       documents.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
     val pairs = TextDedup.minhashCandidatePairs(survivorDocs)
       .select("doc_a", "doc_b")
-    val resolved =
-      DedupGraph.survivors(base.select("doc_id"), pairs, reliable = reliable)
-    base.join(resolved.filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // drop-set anti-join (r6): a base doc is kept iff it is unpaired or
+    // its cluster's minimum — i.e. NOT a paired non-minimum. Anti-join
+    // against exactly that (small, broadcastable) set ≡ the previous
+    // survivors() outer join + keep filter + semi-join back, with two
+    // fewer joins over base.
+    val comp = DedupGraph.connectedComponents(pairs, reliable = reliable)
+    base.join(comp.filter(col("doc_id") =!= col("component")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
   }
 }
